@@ -1,0 +1,228 @@
+"""Typed configuration for PlaneDepth-TPU.
+
+Replaces the reference's flat argparse namespace (reference: options.py:17-293)
+with frozen dataclasses.  Every flag of the reference's capability surface
+(SURVEY.md §2.3) has a field here; the three training-stage recipes of the
+reference README are provided as presets.
+
+Unlike the reference we keep the config immutable: derived quantities
+(e.g. per-host batch size under flip_right, reference trainer.py:77-78) are
+computed in properties instead of mutating the parsed namespace.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class PlaneConfig:
+    """Plane-volume layout (reference: networks/depth_decoder.py:18-52)."""
+
+    disp_levels: int = 49           # vertical (fronto-parallel, "no") planes
+    disp_min: float = 2.0
+    disp_max: float = 300.0
+    xz_levels: int = 14             # ground planes
+    xz_min: float = 0.1852
+    xz_max: float = 0.3704
+    yz_levels: int = 0              # side planes (2 x yz_levels//2)
+    yz_min: float = 0.1
+    yz_max: float = 10.0
+
+    @property
+    def all_levels(self) -> int:
+        return self.disp_levels + self.xz_levels + self.yz_levels
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Network architecture selection (reference: options.py:99-163)."""
+
+    net_type: str = "ResNet"        # ResNet | PladeNet | FalNet
+    num_layers: int = 50            # resnet depth: 18/34/50/101/152
+    num_ep: int = 8                 # positional-encoding channels
+    pe_type: str = "neural"         # neural | frequency
+    use_denseaspp: bool = True
+    use_mixture_loss: bool = True
+    plane_residual: bool = True
+    render_probability: bool = False
+    planes: PlaneConfig = field(default_factory=PlaneConfig)
+    # Pose network (only built when novel_frame_ids non-empty and not colmap,
+    # reference trainer.py:92-94)
+    pose_num_layers: int = 18
+    pose_num_ep: int = 8
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss weights and switches (reference: options.py:62-77,141-155,208-248)."""
+
+    alpha_smooth: float = 0.04
+    gamma_smooth: float = 2.0
+    alpha_pc: float = 0.1
+    alpha_self: float = 0.0
+    self_distillation: float = 0.0
+    automask: bool = False
+    use_ssim: bool = False
+    match_aug: bool = False
+    pc_net: str = "vgg19"           # vgg19 | resnet18
+    use_mom: bool = False           # mirror occlusion mask
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset / augmentation (reference: options.py:27-60,113-115,156-158)."""
+
+    data_path: str = "./kitti_data"
+    dataset: str = "kitti"          # kitti | kitti_odom
+    split: str = "eigen_full_left"
+    height: int = 192
+    width: int = 640
+    png: bool = False
+    no_crop: bool = False           # disables RandomResizeCrop
+    use_colmap: bool = False
+    colmap_path: str = "./kitti_colmap"
+    num_workers: int = 4
+    # aug ranges (reference: datasets/mono_dataset.py:77-87)
+    crop_factor: Tuple[float, float] = (0.75, 1.5)
+    gamma_range: Tuple[float, float] = (0.8, 1.2)
+    brightness_range: Tuple[float, float] = (0.5, 2.0)
+    color_range: Tuple[float, float] = (0.8, 1.2)
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Optimizer schedule (reference: options.py:176-206)."""
+
+    learning_rate: float = 1e-4
+    beta_1: float = 0.5
+    beta_2: float = 0.999
+    num_epochs: int = 50
+    milestones: Tuple[int, ...] = (30, 40)
+    lr_gamma: float = 0.5
+    start_epoch: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Full training configuration (reference: options.py + trainer.py)."""
+
+    model_name: str = "planedepth"
+    log_dir: str = "./log"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+
+    batch_size: int = 8             # GLOBAL batch before flip_right halving
+    seed: int = 1
+    warp_type: str = "disp_warp"    # depth_warp | disp_warp | homography_warp
+    novel_frame_ids: Tuple[int, ...] = ()
+    no_stereo: bool = False
+    flip_right: bool = False
+
+    # checkpoint / logging
+    load_weights_folder: Optional[str] = None
+    models_to_load: Tuple[str, ...] = ("encoder", "depth")
+    log_frequency: int = 500
+    log_img_frequency: int = 250
+
+    # parallelism
+    mesh_shape: Tuple[int, ...] = ()   # () => use all devices on 1-D 'data' axis
+    bf16: bool = True                  # bfloat16 activations on TPU
+
+    def __post_init__(self):
+        if self.loss.use_mom and not self.flip_right:
+            # reference trainer.py:74-75 forces flip_right under use_mom
+            object.__setattr__(self, "flip_right", True)
+        assert self.data.height % 32 == 0, "'height' must be a multiple of 32"
+        assert self.data.width % 32 == 0, "'width' must be a multiple of 32"
+        assert self.warp_type in ("depth_warp", "disp_warp", "homography_warp")
+        assert self.model.net_type in ("ResNet", "PladeNet", "FalNet")
+
+    # --- derived quantities -------------------------------------------------
+    @property
+    def per_step_batch(self) -> int:
+        """Images fed to the data pipeline per optimizer step.
+
+        Under flip_right the loaded batch is halved, then doubled by the
+        flip augmentation (reference trainer.py:77-78,252-276).
+        """
+        return self.batch_size // 2 if self.flip_right else self.batch_size
+
+    @property
+    def effective_batch(self) -> int:
+        """Batch size actually seen by the networks."""
+        return self.per_step_batch * (2 if self.flip_right else 1)
+
+    @property
+    def target_sides(self) -> Tuple:
+        """Warping targets: stereo right + temporal neighbors
+        (reference trainer.py:85-88)."""
+        sides = () if self.no_stereo else ("r",)
+        return sides + tuple(self.novel_frame_ids)
+
+    @property
+    def use_pose_net(self) -> bool:
+        return len(self.novel_frame_ids) > 0 and not self.data.use_colmap
+
+    # --- serialization ------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Stage presets (reference README.md:36-90)
+# ---------------------------------------------------------------------------
+
+def stage1_config(**overrides) -> TrainConfig:
+    """Stage 1: 640x192 stereo, 50 epochs, full feature set."""
+    cfg = TrainConfig(
+        model_name="stage1",
+        flip_right=True,
+        batch_size=8,
+        data=DataConfig(height=192, width=640, split="eigen_full_left"),
+        optim=OptimConfig(learning_rate=1e-4, num_epochs=50, milestones=(30, 40)),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def hr_finetune_config(**overrides) -> TrainConfig:
+    """Stage 2: 1280x384 high-resolution finetune, 1 epoch, lr 2.5e-5."""
+    cfg = TrainConfig(
+        model_name="hr_finetune",
+        flip_right=True,
+        batch_size=8,
+        data=DataConfig(height=384, width=1280, split="eigen_full_left",
+                        no_crop=True),
+        optim=OptimConfig(learning_rate=2.5e-5, num_epochs=1, milestones=()),
+        models_to_load=("encoder", "depth"),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def self_distillation_config(**overrides) -> TrainConfig:
+    """Stage 3: self-distillation with frozen teacher, 10 epochs, lr 2e-5."""
+    cfg = TrainConfig(
+        model_name="self_distillation",
+        flip_right=True,
+        batch_size=4,
+        loss=LossConfig(self_distillation=1.0),
+        data=DataConfig(height=384, width=1280, split="eigen_full_left",
+                        no_crop=True),
+        optim=OptimConfig(learning_rate=2e-5, num_epochs=10, milestones=(5,)),
+        models_to_load=("encoder", "depth"),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+STAGE_PRESETS = {
+    "stage1": stage1_config,
+    "hr_finetune": hr_finetune_config,
+    "self_distillation": self_distillation_config,
+}

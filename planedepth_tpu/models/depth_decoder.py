@@ -1,0 +1,309 @@
+"""Plane-probability depth decoder (reference networks/depth_decoder.py:18-293).
+
+U-Net decoder over the 5 encoder features with positional-encoding grid
+injection at every scale, optional DenseASPP at the deepest stage, and three
+heads:
+
+  * ``dispconv`` — per-pixel plane logits,
+  * ``sigmaconv`` — per-pixel mixture scales (use_mixture_loss),
+  * ``residualconv`` — per-image plane-level offsets (plane_residual).
+
+The orthogonal plane volume itself is pure geometry
+(geometry/planes.build_plane_volume).  Everything is channels-last with the
+plane axis LAST, so the softmax/compositing runs across TPU vector lanes.
+
+Also includes ``DepthDecoderContinuous`` (reference depth_decoder.py:296-453),
+the exported-but-untrained continuous-disparity variant, for API parity.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from planedepth_tpu.config import PlaneConfig
+from planedepth_tpu.geometry.camera import create_camera_plane, disp_to_depth
+from planedepth_tpu.geometry.planes import build_plane_volume
+from planedepth_tpu.models.denseaspp import DenseAspp
+from planedepth_tpu.models.layers import (
+    Conv3x3,
+    ConvBlock,
+    EpConv,
+    frequency_embed,
+    inject_grid,
+)
+from planedepth_tpu.ops.resize import upsample2x_nearest
+
+Dtype = Any
+
+NUM_CH_DEC = (16, 32, 64, 128, 256)
+
+
+def render_probability_from_logits(
+    logits: jnp.ndarray, dists: jnp.ndarray
+) -> jnp.ndarray:
+    """NeRF-style alpha compositing over the plane axis (last).
+
+    Reference depth_decoder.py:261-273: ``alpha = 1 - exp(-relu(logit)*dist)``
+    for the first N-1 planes, last plane alpha = 1, transmittance cumprod with
+    the +1e-10 guard.
+
+    Args:
+      logits: ``(B, H, W, N-1)`` density logits.
+      dists: ``(B, H, W, N-1)`` inter-plane metric distances along the ray.
+
+    Returns:
+      probability ``(B, H, W, N)``.
+    """
+    alpha = 1.0 - jnp.exp(-nn.relu(logits) * dists)
+    ones = jnp.ones_like(alpha[..., :1])
+    alpha = jnp.concatenate([alpha, ones], axis=-1)
+    trans = jnp.cumprod(
+        jnp.concatenate([ones, 1.0 - alpha + 1e-10], axis=-1), axis=-1
+    )[..., :-1]
+    return alpha * trans
+
+
+def plane_dists(disp_layered: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """Adjacent-plane metric distances along each pixel's camera ray.
+
+    Reference depth_decoder.py:262-267: successive depth differences scaled by
+    ``|K^-1 [x, y, 1]|``.
+
+    Args:
+      disp_layered: ``(B, H, W, N)``.
+
+    Returns:
+      ``(B, H, W, N-1)``.
+    """
+    depth_layered = disp_to_depth(disp_layered, width)
+    d = depth_layered[..., 1:] - depth_layered[..., :-1]
+    rays = create_camera_plane(height, width)            # (H, W, 3)
+    ray_norm = jnp.linalg.norm(rays, axis=-1)[None, :, :, None]
+    return d * ray_norm.astype(d.dtype)
+
+
+def mixture_reweight(
+    probability: jnp.ndarray,
+    sigma: jnp.ndarray,
+    padding_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """``weights = pi / sigma`` renormalized over planes
+    (reference depth_decoder.py:281-285).
+
+    The 1e-12 denominator guard repairs an unguarded division in the
+    reference (depth_decoder.py:284): under render_probability every
+    unmasked plane can carry zero alpha at init, making the weight sum 0.
+    """
+    w = probability / sigma
+    if padding_mask is not None:
+        w = w * padding_mask
+    return w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-12)
+
+
+class DepthDecoder(nn.Module):
+    """Primary plane-probability head (reference depth_decoder.py:18-293)."""
+
+    num_ch_enc: Sequence[int]
+    planes: PlaneConfig = PlaneConfig()
+    num_ep: int = 8
+    pe_type: str = "neural"
+    use_skips: bool = True
+    use_denseaspp: bool = True
+    use_mixture_loss: bool = True
+    render_probability: bool = False
+    plane_residual: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_features: Sequence[jnp.ndarray],
+        grid: jnp.ndarray,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.planes
+        all_levels = cfg.all_levels
+
+        grid_ep = None
+        if self.num_ep > 0:
+            if self.pe_type == "neural":
+                grid_ep = EpConv(self.num_ep, dtype=self.dtype, name="epconv")(
+                    grid.astype(self.dtype)
+                )
+            else:
+                grid_ep = frequency_embed(grid, self.num_ep).astype(self.dtype)
+
+        x = input_features[-1].astype(self.dtype)
+        x = inject_grid(x, grid_ep)
+        for i in range(4, -1, -1):
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_0")(x)
+            x = upsample2x_nearest(x)
+            if self.use_skips and i > 0:
+                x = jnp.concatenate(
+                    [x, input_features[i - 1].astype(self.dtype)], axis=-1
+                )
+            if i > 0:
+                x = inject_grid(x, grid_ep)
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_1")(x)
+            if i == 4 and self.use_denseaspp:
+                x = DenseAspp(dtype=self.dtype, name="denseaspp")(x, train)
+
+        B, H, W, _ = x.shape
+        outputs: Dict[str, jnp.ndarray] = {}
+
+        residual_levels = None
+        if self.plane_residual:
+            r = nn.Conv(NUM_CH_DEC[0], (1, 1), dtype=self.dtype,
+                        name="residualconv_0")(x)
+            r = jnp.mean(r, axis=(1, 2), keepdims=True)   # AdaptiveAvgPool 1x1
+            r = nn.Conv(all_levels, (1, 1), dtype=self.dtype,
+                        name="residualconv_1")(r)
+            residual_levels = (
+                nn.sigmoid(r.astype(jnp.float32))[:, 0, 0, :] - 0.5
+            )                                             # (B, N)
+
+        vol = build_plane_volume(
+            grid.astype(jnp.float32), cfg, W, residual_levels
+        )
+        outputs["disp_layered"] = vol.disp_layered
+        outputs["padding_mask"] = vol.padding_mask
+        outputs["distance"] = vol.distance
+        outputs["norm"] = vol.normal
+
+        n_logits = all_levels - 1 if self.render_probability else all_levels
+        logits = Conv3x3(n_logits, dtype=self.dtype, name="dispconv")(x)
+        logits = logits.astype(jnp.float32)
+        if self.render_probability:
+            logits = logits * vol.padding_mask[..., : all_levels - 1]
+            dists = plane_dists(vol.disp_layered, W, H)
+            outputs["dists"] = dists
+            probability = render_probability_from_logits(logits, dists)
+            logits = jnp.concatenate(
+                [logits, jnp.ones_like(logits[..., :1])], axis=-1
+            )
+        else:
+            logits = logits * vol.padding_mask
+            probability = nn.softmax(logits, axis=-1)
+        outputs["logits"] = logits
+
+        if self.use_mixture_loss:
+            sigma = nn.sigmoid(
+                Conv3x3(all_levels, dtype=self.dtype, name="sigmaconv")(x)
+                .astype(jnp.float32)
+            )
+            sigma = jnp.clip(sigma, 0.01, 1.0)
+            outputs["sigma"] = sigma
+            outputs["pi"] = probability
+            probability = mixture_reweight(probability, sigma, vol.padding_mask)
+
+        outputs["probability"] = probability
+        outputs["disp"] = jnp.sum(
+            probability * vol.disp_layered, axis=-1, keepdims=True
+        )
+        outputs["depth"] = disp_to_depth(outputs["disp"], W)
+        return outputs
+
+
+class DepthDecoderContinuous(nn.Module):
+    """Continuous-disparity variant (reference depth_decoder.py:296-453).
+
+    Per-pixel sigmoid disparity levels from ``dispconv`` + separate ``piconv``
+    logits; no orthogonal plane construction.  Exported for API parity with
+    the reference (never instantiated by its trainer).
+    """
+
+    num_ch_enc: Sequence[int]
+    planes: PlaneConfig = PlaneConfig(xz_levels=0, yz_levels=0)
+    num_ep: int = 8
+    pe_type: str = "neural"
+    use_skips: bool = True
+    use_denseaspp: bool = True
+    use_mixture_loss: bool = True
+    render_probability: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_features: Sequence[jnp.ndarray],
+        grid: jnp.ndarray,
+        train: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.planes
+        n_levels = cfg.disp_levels + cfg.xz_levels
+
+        grid_ep = None
+        if self.num_ep > 0:
+            if self.pe_type == "neural":
+                grid_ep = EpConv(self.num_ep, dtype=self.dtype, name="epconv")(
+                    grid.astype(self.dtype)
+                )
+            else:
+                grid_ep = frequency_embed(grid, self.num_ep).astype(self.dtype)
+
+        x = input_features[-1].astype(self.dtype)
+        x = inject_grid(x, grid_ep)
+        for i in range(4, -1, -1):
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_0")(x)
+            x = upsample2x_nearest(x)
+            if self.use_skips and i > 0:
+                x = jnp.concatenate(
+                    [x, input_features[i - 1].astype(self.dtype)], axis=-1
+                )
+            if i > 0:
+                x = inject_grid(x, grid_ep)
+            x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
+                          name=f"upconv_{i}_1")(x)
+            if i == 4 and self.use_denseaspp:
+                x = DenseAspp(dtype=self.dtype, name="denseaspp")(x, train)
+
+        B, H, W, _ = x.shape
+        outputs: Dict[str, jnp.ndarray] = {}
+
+        disp_levels = nn.sigmoid(
+            Conv3x3(n_levels, dtype=self.dtype, name="dispconv")(x)
+            .astype(jnp.float32)
+        )
+        outputs["disp_levels"] = disp_levels
+        disp_layered = cfg.disp_max * (
+            cfg.disp_min / cfg.disp_max
+        ) ** disp_levels
+        outputs["disp_layered"] = disp_layered
+
+        n_pi = n_levels - 1 if self.render_probability else n_levels
+        logits = Conv3x3(n_pi, dtype=self.dtype, name="piconv")(x).astype(
+            jnp.float32
+        )
+        if self.render_probability:
+            dists = plane_dists(disp_layered, W, H)
+            outputs["dists"] = dists
+            probability = render_probability_from_logits(logits, dists)
+            logits = jnp.concatenate(
+                [logits, jnp.ones_like(logits[..., :1])], axis=-1
+            )
+        else:
+            probability = nn.softmax(logits, axis=-1)
+        outputs["logits"] = logits
+
+        if self.use_mixture_loss:
+            sigma = nn.sigmoid(
+                Conv3x3(n_levels, dtype=self.dtype, name="sigmaconv")(x)
+                .astype(jnp.float32)
+            )
+            sigma = jnp.clip(sigma, 0.01, 1.0)
+            outputs["sigma"] = sigma
+            outputs["pi"] = probability
+            probability = mixture_reweight(probability, sigma)
+
+        outputs["probability"] = probability
+        outputs["disp"] = jnp.sum(
+            probability * disp_layered, axis=-1, keepdims=True
+        )
+        outputs["depth"] = disp_to_depth(outputs["disp"], W)
+        return outputs

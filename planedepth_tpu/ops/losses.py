@@ -1,0 +1,120 @@
+"""Loss primitives: mixture NLL, edge-aware smoothness, depth metrics.
+
+Reference semantics: layers.py:243-273 (smoothness), :356-374 (metrics),
+:451-466 (Laplacian/Gaussian mixture NLL).  Plane axis is LAST here
+(``(B, H, W, N)``), matching the rest of the TPU build.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def gaussian_pdf(error: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """(reference layers.py:451-452)"""
+    return (
+        jnp.exp(-0.5 * error**2 / sigma**2) / sigma / np.sqrt(2.0 * np.pi)
+    )
+
+
+def laplacian_pdf(error: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(reference layers.py:454-455)"""
+    return 0.5 * jnp.exp(-jnp.abs(error) / b) / b
+
+
+def multimodal_nll(
+    error: jnp.ndarray,
+    sigma: jnp.ndarray,
+    pi: jnp.ndarray,
+    dist: str = "lap",
+    axis: int = -1,
+) -> jnp.ndarray:
+    """Mixture negative log-likelihood over the plane axis.
+
+    ``-log(sum_n pi_n * p(error_n; sigma_n) + 1e-7)``
+    (reference layers.py:465-466).  Keeps the reduced axis with size 1.
+    """
+    pdf = gaussian_pdf if dist == "gaussian" else laplacian_pdf
+    mix = jnp.sum(pi * pdf(error, sigma), axis=axis, keepdims=True)
+    return -jnp.log(mix + 1e-7)
+
+
+def smooth_loss_disp(
+    disp: jnp.ndarray, img: jnp.ndarray, gamma: float = 1.0
+) -> jnp.ndarray:
+    """Edge-aware first-order smoothness on a disparity map.
+
+    Reference layers.py:243-256.  Inputs are NHWC: disp ``(B, H, W, 1)``,
+    img ``(B, H, W, 3)``.
+    """
+    dx = jnp.abs(disp[:, :, :-1, :] - disp[:, :, 1:, :])
+    dy = jnp.abs(disp[:, :-1, :, :] - disp[:, 1:, :, :])
+    ix = jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]), -1, keepdims=True)
+    iy = jnp.mean(jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]), -1, keepdims=True)
+    dx = dx * jnp.exp(-gamma * ix)
+    dy = dy * jnp.exp(-gamma * iy)
+    return jnp.mean(dx) + jnp.mean(dy)
+
+
+def smooth_loss_probability(
+    probability: jnp.ndarray,
+    disp_layered: jnp.ndarray,
+    img: jnp.ndarray,
+    gamma: float = 1.0,
+) -> jnp.ndarray:
+    """Probability-volume variant of the smoothness loss
+    (reference layers.py:258-273).  Plane axis last: ``(B, H, W, N)``."""
+    dpx = jnp.abs(probability[:, :, :-1, :] - probability[:, :, 1:, :]) * (
+        disp_layered[:, :, :-1, :] + disp_layered[:, :, 1:, :]
+    ) / 2.0
+    dpx = jnp.sum(dpx, axis=-1, keepdims=True)
+    dpy = jnp.abs(probability[:, :-1, :, :] - probability[:, 1:, :, :]) * (
+        disp_layered[:, :-1, :, :] + disp_layered[:, 1:, :, :]
+    ) / 2.0
+    dpy = jnp.sum(dpy, axis=-1, keepdims=True)
+    ix = jnp.mean(jnp.abs(img[:, :, :-1, :] - img[:, :, 1:, :]), -1, keepdims=True)
+    iy = jnp.mean(jnp.abs(img[:, :-1, :, :] - img[:, 1:, :, :]), -1, keepdims=True)
+    dpx = dpx * jnp.exp(-gamma * ix)
+    dpy = dpy * jnp.exp(-gamma * iy)
+    return jnp.mean(dpx) + jnp.mean(dpy)
+
+
+def compute_depth_errors(gt: jnp.ndarray, pred: jnp.ndarray, weights=None):
+    """Seven standard depth metrics (reference layers.py:356-374).
+
+    Args:
+      gt, pred: flat (or broadcastable) positive depth arrays.
+      weights: optional 0/1 mask for jit-friendly masked evaluation (the
+        reference boolean-indexes, which is shape-dynamic; a weighted mean is
+        the XLA-native equivalent).
+
+    Returns:
+      dict of scalars: abs_rel, sq_rel, rms, log_rms, a1, a2, a3.
+    """
+    if weights is None:
+        weights = jnp.ones_like(gt)
+    wsum = jnp.maximum(jnp.sum(weights), 1.0)
+
+    def wmean(x):
+        return jnp.sum(x * weights) / wsum
+
+    thresh = jnp.maximum(gt / pred, pred / gt)
+    a1 = wmean((thresh < 1.25).astype(gt.dtype))
+    a2 = wmean((thresh < 1.25**2).astype(gt.dtype))
+    a3 = wmean((thresh < 1.25**3).astype(gt.dtype))
+    rmse = jnp.sqrt(wmean((gt - pred) ** 2))
+    # guard the log against masked-out zeros
+    safe_gt = jnp.where(weights > 0, gt, 1.0)
+    safe_pred = jnp.where(weights > 0, pred, 1.0)
+    rmse_log = jnp.sqrt(wmean((jnp.log(safe_gt) - jnp.log(safe_pred)) ** 2))
+    abs_rel = wmean(jnp.abs(gt - pred) / jnp.where(weights > 0, gt, 1.0))
+    sq_rel = wmean((gt - pred) ** 2 / jnp.where(weights > 0, gt, 1.0))
+    return {
+        "de/abs_rel": abs_rel,
+        "de/sq_rel": sq_rel,
+        "de/rms": rmse,
+        "de/log_rms": rmse_log,
+        "da/a1": a1,
+        "da/a2": a2,
+        "da/a3": a3,
+    }

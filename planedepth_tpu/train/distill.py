@@ -1,0 +1,151 @@
+"""Self-distillation teacher pass + mirror occlusion masks.
+
+``generate_post_process_disp`` (reference trainer.py:404-466): the frozen
+teacher runs on [x, flip(x)]; stereo-consistency occlusion masks are derived
+from cross-warped probability volumes; the blended post-processed disparity
+``disp_pp`` becomes the distillation target.
+
+``mirror_occlusion_mask`` (reference trainer.py:636-669): occlusion masks
+from the L/R probability volumes of the flip-doubled batch under
+``--use_mom``.  NOTE the reference implementation references
+``self.pix_coords_r/_l`` which are never assigned (it crashes if enabled);
+here the intended warp grids — +/- the layered disparities, exactly the ones
+``generate_post_process_disp`` builds — are used.
+
+All warps are horizontal shifts, so sampling uses the 1-D
+:func:`ops.sampling.shift_sample_x` specialization.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from planedepth_tpu.ops.sampling import shift_sample_x
+
+
+def flip_w(x: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal flip of an NHWC tensor."""
+    return x[:, :, ::-1]
+
+
+def flip_grid(grid: jnp.ndarray) -> jnp.ndarray:
+    """Flip the normalized aug grid: negate x, mirror W
+    (reference trainer.py:258-260,408-410)."""
+    g = grid.at[..., 0].multiply(-1.0)
+    return g[:, :, ::-1]
+
+
+def _shift_sample_per_plane(
+    maps: jnp.ndarray, shift: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample each plane's own map at its own horizontal shift.
+
+    Args:
+      maps: ``(B, H, W, N)``.
+      shift: ``(B, H, W, N)`` source offset in pixels.
+
+    Returns:
+      ``(B, H, W, N)``.
+    """
+
+    def one_plane(m, s):
+        # m, s: (B, H, W)
+        return shift_sample_x(m[..., None], s[:, None])[:, 0, ..., 0]
+
+    out = jax.vmap(one_plane, in_axes=(3, 3), out_axes=3)(maps, shift)
+    return out
+
+
+def generate_post_process_disp(
+    teacher_apply: Callable,
+    color_aug_l: jnp.ndarray,
+    grid: jnp.ndarray,
+    num_ep: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher post-processed disparity (reference trainer.py:404-466).
+
+    Args:
+      teacher_apply: frozen ``(image, grid) -> outputs`` forward.
+      color_aug_l: ``(B, H, W, 3)``.
+      grid: ``(B, H, W, 2)``.
+
+    Returns:
+      (disp_pp ``(B, H, W, 1)``, mask_novel ``(B, H, W, 1)``), both
+      stop-gradiented.
+    """
+    images = jnp.concatenate([color_aug_l, flip_w(color_aug_l)], axis=0)
+    grids = jnp.concatenate([grid, flip_grid(grid)], axis=0)
+    outputs = teacher_apply(images, grids)
+
+    prob = outputs["probability"]          # (2B, H, W, N)
+    B = prob.shape[0] // 2
+    disp_layered = outputs["disp_layered"]
+    logits = outputs["logits"]
+
+    shift_r = disp_layered[:B]             # sample at x + d  (to right view)
+    shift_l = -disp_layered[B:]            # sample at x - d_flipped
+
+    # o_l: left-view occlusion coverage (trainer.py:443-449)
+    plr = _shift_sample_per_plane(logits[:B], shift_r)
+    plr = nn.softmax(plr, axis=-1)
+    o_l = jnp.sum(
+        _shift_sample_per_plane(plr, shift_l), axis=-1, keepdims=True
+    )
+    o_l = jnp.minimum(o_l, 1.0)
+
+    # o_fr: flipped-right coverage (trainer.py:451-456)
+    pfr = flip_w(logits[B:])
+    pfrl = _shift_sample_per_plane(pfr, shift_l)
+    pfrl = nn.softmax(pfrl, axis=-1)
+    o_fr = jnp.sum(
+        _shift_sample_per_plane(pfrl, shift_r), axis=-1, keepdims=True
+    )
+    o_fr = jnp.minimum(o_fr, 1.0)
+
+    disp = outputs["disp"]                 # (2B, H, W, 1)
+    mean_disp = disp[:B] * 0.5 + flip_w(disp[B:]) * 0.5
+    disp_pp = mean_disp * o_fr + disp[:B] * (1.0 - o_fr)
+    disp_pp = disp_pp * o_l + flip_w(disp[B:]) * (1.0 - o_l)
+
+    mask_novel = jnp.sum(
+        _shift_sample_per_plane(prob[:B], shift_r), axis=-1, keepdims=True
+    )
+    mask_novel = jnp.minimum(mask_novel, 1.0)
+    return jax.lax.stop_gradient(disp_pp), jax.lax.stop_gradient(mask_novel)
+
+
+def mirror_occlusion_mask(
+    outputs: Dict[str, jnp.ndarray],
+    rec: Dict,
+) -> jnp.ndarray:
+    """Mirror occlusion mask under flip_right doubling
+    (reference trainer.py:636-669, with the undefined-grid bug repaired).
+
+    Returns ``(2B, H, W, 1)`` mask_novel, stop-gradiented.
+    """
+    prob = outputs["probability"]            # (2B, H, W, N)
+    B = prob.shape[0] // 2
+    disp_layered = outputs["disp_layered"]
+    prob_rec = rec[("probability_rec", "r")]
+
+    pll = prob[:B]
+    prr = flip_w(prob[B:])
+    plr = prob_rec[:B]
+    prl = flip_w(prob_rec[B:])
+
+    shift_r = disp_layered[:B]
+    shift_l = -disp_layered[:B]
+
+    o_r_a = jnp.sum(_shift_sample_per_plane(pll, shift_r), -1, keepdims=True)
+    o_r_b = jnp.sum(_shift_sample_per_plane(prl, shift_r), -1, keepdims=True)
+    o_r = jnp.minimum(o_r_a * o_r_b, 1.0)
+
+    o_l_a = jnp.sum(_shift_sample_per_plane(prr, shift_l), -1, keepdims=True)
+    o_l_b = jnp.sum(_shift_sample_per_plane(plr, shift_l), -1, keepdims=True)
+    o_l = jnp.minimum(o_l_a * o_l_b, 1.0)
+
+    mask = jnp.concatenate([o_r, flip_w(o_l)], axis=0)
+    return jax.lax.stop_gradient(mask)

@@ -1,0 +1,217 @@
+"""Training orchestration (reference trainer.py:45-913 ``Trainer``).
+
+Host-side epoch loop around the jitted train/eval steps: data loading with
+the deterministic host-sharded sampler, device placement, throughput/TB
+logging, per-epoch checkpoints (last + best-abs_rel), partial weight
+restore for the 3-stage recipe, and the frozen self-distillation teacher.
+
+The device-side work (flip_right doubling, forward, warping, losses, Adam)
+lives entirely inside ``train_step`` (train/step.py) — one compiled program
+per step, no per-batch Python in the hot loop beyond the data pipeline.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planedepth_tpu.config import TrainConfig
+from planedepth_tpu.data.kitti import DATASETS, readlines, split_path
+from planedepth_tpu.data.loader import BatchLoader, EpochSampler
+from planedepth_tpu.parallel.mesh import (
+    jit_eval_step,
+    jit_train_step,
+    make_mesh,
+    replicate_state,
+    replicated,
+    shard_batch,
+)
+from planedepth_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+)
+from planedepth_tpu.train.step import (
+    ModelBundle,
+    make_eval_step,
+    make_train_step,
+)
+from planedepth_tpu.utils.checkpoint import (
+    load_checkpoint,
+    restore_submodules,
+    save_checkpoint,
+)
+from planedepth_tpu.utils.logging import Logger, ThroughputMeter
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, datasets=None):
+        self.cfg = cfg
+        self.log_path = os.path.join(cfg.log_dir, cfg.model_name)
+        self.mesh = make_mesh()
+        self.n_devices = len(self.mesh.devices.ravel())
+
+        # data ---------------------------------------------------------------
+        if datasets is not None:
+            self.train_dataset, self.val_dataset = datasets
+        else:
+            ds_cls = DATASETS[cfg.data.dataset]
+            img_ext = ".png" if cfg.data.png else ".jpg"
+            train_files = readlines(split_path(cfg.data.split, "train"))
+            val_files = readlines(split_path(cfg.data.split, "val"))
+            self.train_dataset = ds_cls(
+                cfg.data.data_path, train_files, cfg.data.height,
+                cfg.data.width, cfg.novel_frame_ids, is_train=True,
+                use_crop=not cfg.data.no_crop,
+                use_colmap=cfg.data.use_colmap,
+                colmap_path=cfg.data.colmap_path, img_ext=img_ext,
+                seed=cfg.seed, crop_factor=cfg.data.crop_factor,
+            )
+            self.val_dataset = ds_cls(
+                cfg.data.data_path, val_files, cfg.data.height,
+                cfg.data.width, cfg.novel_frame_ids, is_train=False,
+                use_crop=False, use_colmap=False, img_ext=img_ext,
+                seed=cfg.seed,
+            )
+
+        n_hosts = jax.process_count()
+        host = jax.process_index()
+        per_host_batch = cfg.per_step_batch // n_hosts
+        self.train_sampler = EpochSampler(
+            len(self.train_dataset), per_host_batch, n_hosts, host,
+            shuffle=True, seed=cfg.seed, drop_last=True,
+        )
+        self.val_sampler = EpochSampler(
+            len(self.val_dataset), per_host_batch, n_hosts, host,
+            shuffle=False, seed=cfg.seed, drop_last=False,
+        )
+        self.train_loader = BatchLoader(
+            self.train_dataset, self.train_sampler,
+            num_workers=cfg.data.num_workers,
+        )
+        self.val_loader = BatchLoader(
+            self.val_dataset, self.val_sampler,
+            num_workers=cfg.data.num_workers,
+        )
+        self.steps_per_epoch = self.train_sampler.steps_per_epoch()
+
+        # models / optimizer -------------------------------------------------
+        self.bundle = ModelBundle(cfg)
+        params, batch_stats, pc_params = self.bundle.init(
+            jax.random.PRNGKey(cfg.seed), cfg.data.height, cfg.data.width
+        )
+        self.tx = make_optimizer(cfg, self.steps_per_epoch)
+        self.state = create_train_state(
+            params, batch_stats, self.tx, pc_params=pc_params
+        )
+
+        if cfg.load_weights_folder is not None:
+            payload = load_checkpoint(cfg.load_weights_folder)
+            self.state = restore_submodules(
+                self.state, payload, cfg.models_to_load
+            )
+
+        if cfg.loss.self_distillation > 0:
+            # frozen teacher = deep copy of the (possibly just-restored)
+            # student (reference trainer.py:109-112)
+            teacher = {
+                "params": jax.tree_util.tree_map(
+                    lambda x: np.array(x), self.state.params
+                ),
+                "batch_stats": jax.tree_util.tree_map(
+                    lambda x: np.array(x), self.state.batch_stats
+                ),
+            }
+            self.state = self.state.replace(teacher=teacher)
+
+        self.state = replicate_state(self.state, self.mesh)
+        self.train_step = jit_train_step(
+            make_train_step(self.bundle, self.tx), self.mesh
+        )
+        self.eval_step = jit_eval_step(
+            make_eval_step(self.bundle), self.mesh
+        )
+
+        # logging ------------------------------------------------------------
+        self.is_chief = host == 0
+        self.logger = Logger(self.log_path, enabled=self.is_chief)
+        if self.is_chief:
+            self.logger.save_config(cfg.to_json())
+        self.best_absrel = 10.0
+        self.step_count = 0
+        self.meter = ThroughputMeter(
+            self.steps_per_epoch * cfg.optim.num_epochs, cfg.per_step_batch
+        )
+        self.rng = jax.device_put(
+            jax.random.PRNGKey(cfg.seed), replicated(self.mesh)
+        )
+
+    # --- loops --------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        for epoch in range(cfg.optim.start_epoch, cfg.optim.num_epochs):
+            self.run_epoch(epoch)
+            if self.is_chief:
+                self.save("last_models")
+
+    def run_epoch(self, epoch: int):
+        cfg = self.cfg
+        for batch_idx, batch in enumerate(self.train_loader.epoch(epoch)):
+            t0 = time.time()
+            device_batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self.train_step(
+                self.state, device_batch, self.rng
+            )
+            early = batch_idx % 100 == 0 and self.step_count < cfg.log_frequency
+            late = self.step_count % cfg.log_frequency == 0
+            if early or late:
+                loss = float(metrics["loss/total_loss"])
+                dur = time.time() - t0
+                if self.is_chief:
+                    line = self.meter.log_line(
+                        epoch, batch_idx, self.step_count, dur, loss
+                    )
+                    print(line)
+                    self.logger.text(line)
+                    self.logger.scalars(
+                        "train",
+                        {k: float(v) for k, v in metrics.items()},
+                        self.step_count,
+                    )
+            self.step_count += 1
+        self.val(epoch)
+
+    def val(self, epoch: int) -> Dict[str, float]:
+        total: Dict[str, float] = {}
+        n = 0
+        for batch in self.val_loader.epoch(0):
+            if "depth_gt_l" not in batch:
+                continue
+            device_batch = shard_batch(batch, self.mesh)
+            metrics = self.eval_step(self.state, device_batch)
+            b = batch["color_l"].shape[0]
+            n += b
+            for k, v in metrics.items():
+                total[k] = total.get(k, 0.0) + float(v) * b
+        if n == 0:
+            return {}
+        metrics = {k: v / n for k, v in total.items()}
+        if metrics.get("de/abs_rel", 10.0) < self.best_absrel:
+            self.best_absrel = metrics["de/abs_rel"]
+            if self.is_chief:
+                self.save("best_models")
+        if self.is_chief:
+            self.logger.scalars("val", metrics, self.step_count)
+            self.logger.metric_row(metrics)
+        return metrics
+
+    def save(self, tag: str):
+        save_checkpoint(
+            self.log_path, tag, jax.device_get(self.state),
+            config_json=self.cfg.to_json(),
+            height=self.cfg.data.height, width=self.cfg.data.width,
+        )
