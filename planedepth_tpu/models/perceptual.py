@@ -26,16 +26,14 @@ Dtype = Any
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
-# VGG-19 features config E, conv layer channel plan per slice:
-#   slice1: conv(64) relu conv(64) relu            [pre pool1]
-#   slice2: pool conv(128) relu conv(128) relu     [pre pool2]
-#   slice3: pool conv(256) relu x4                  [through relu3_4]
-#   slice4: pool conv(512) relu x4                  [through relu4_4]
+# VGG-19 features config E. NOTE: the reference's slices INCLUDE the pool
+# layers (slice1 = features[0:5] ends at pool1, layers.py:392-399), so the
+# perceptual features compared are the POOLED maps.
 _VGG_SLICES = (
-    (64, 64),
-    ("pool", 128, 128),
-    ("pool", 256, 256, 256, 256),
-    ("pool", 512, 512, 512, 512),
+    (64, 64, "pool"),
+    (128, 128, "pool"),
+    (256, 256, 256, 256, "pool"),
+    (512, 512, 512, 512, "pool"),
 )
 
 

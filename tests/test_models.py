@@ -167,10 +167,11 @@ def test_vgg19_feature_shapes():
     net = Vgg19Features()
     variables = net.init({"params": RNG}, _img())
     feats = net.apply(variables, _img())
+    # reference slices end at the pools (layers.py:392-399)
     assert len(feats) == 3
-    assert feats[0].shape == (1, H, W, 64)
-    assert feats[1].shape == (1, H // 2, W // 2, 128)
-    assert feats[2].shape == (1, H // 4, W // 4, 256)
+    assert feats[0].shape == (1, H // 2, W // 2, 64)
+    assert feats[1].shape == (1, H // 4, W // 4, 128)
+    assert feats[2].shape == (1, H // 8, W // 8, 256)
 
 
 def test_depth_decoder_continuous_outputs():
