@@ -68,6 +68,15 @@ def generate_depth_map(
     H, W = int(im_shape[0]), int(im_shape[1])
 
     velo = load_velodyne_points(velo_filename)
+
+    from planedepth_tpu.data import native
+
+    fast = native.velodyne_to_depth_native(
+        velo, P_velo2im, H, W, use_x_as_depth=vel_depth
+    )
+    if fast is not None:
+        return fast.astype(np.float64)
+
     velo = velo[velo[:, 0] >= 0]
 
     pts = (P_velo2im @ velo.T).T                     # (P, 3)

@@ -69,7 +69,16 @@ def _get_matrix(s_in: int, s_out: int) -> np.ndarray:
 
 
 def resize_bicubic(img: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
-    """Bicubic align_corners=True resize of (H, W, C) float32."""
+    """Bicubic align_corners=True resize of (H, W, C) float32.
+
+    Uses the native C++ kernel (native/pdnative.cpp) when built; the numpy
+    matrix path below is the bit-equivalent fallback and test oracle.
+    """
+    from planedepth_tpu.data import native
+
+    fast = native.resize_bicubic_native(img, out_hw)
+    if fast is not None:
+        return fast
     H, W, C = img.shape
     Ho, Wo = out_hw
     my = _get_matrix(H, Ho)
