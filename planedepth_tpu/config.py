@@ -132,6 +132,13 @@ class TrainConfig:
     # parallelism
     mesh_shape: Tuple[int, ...] = ()   # () => use all devices on 1-D 'data' axis
     bf16: bool = True                  # bfloat16 activations on TPU
+    # rematerialize the view-synthesis + loss segment in the backward pass:
+    # the (B, N, H, W, C) plane stacks are never stored between fwd and bwd,
+    # trading ~0.2 ms of recompute for the dominant activation footprint
+    remat_warp: bool = False
+    # use the row-constant custom-VJP warp (ops/rowshift.py); measured
+    # slower than XLA autodiff on v5e, may win elsewhere
+    rowshift_warp: bool = False
 
     def __post_init__(self):
         if self.loss.use_mom and not self.flip_right:

@@ -174,6 +174,10 @@ class DepthDecoder(nn.Module):
         outputs["padding_mask"] = vol.padding_mask
         outputs["distance"] = vol.distance
         outputs["norm"] = vol.normal
+        if cfg.yz_levels == 0:
+            # vertical+ground disparities are constant along each row —
+            # enables the scatter-free warp path (ops/rowshift.py)
+            outputs["disp_rows"] = vol.disp_layered[:, :, 0, :]
 
         n_logits = all_levels - 1 if self.render_probability else all_levels
         logits = Conv3x3(n_logits, dtype=self.dtype, name="dispconv")(x)

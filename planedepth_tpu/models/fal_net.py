@@ -93,6 +93,7 @@ class FalNet(nn.Module):
             "probability": probability,
             "disp_layered": disp_layered,
             "padding_mask": jnp.ones_like(disp_layered),
+            "disp_rows": disp_layered[:, :, 0, :],
         }
         outputs["disp"] = jnp.sum(
             probability * disp_layered, axis=-1, keepdims=True

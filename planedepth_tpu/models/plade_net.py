@@ -206,6 +206,7 @@ class PladeNet(nn.Module):
         outputs["padding_mask"] = vol.padding_mask
         outputs["distance"] = vol.distance
         outputs["norm"] = vol.normal
+        outputs["disp_rows"] = vol.disp_layered[:, :, 0, :]
 
         logits = nn.Conv(no_out, (1, 1), dtype=self.dtype, name="conv0")(
             dlog

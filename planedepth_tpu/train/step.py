@@ -194,20 +194,6 @@ def process_batch(
     new_stats.update(pose_stats)
 
     color_name = "color_aug" if cfg.loss.match_aug else "color"
-    rec = pred_novel_images(
-        outputs,
-        batch[f"{color_name}_l"],
-        cfg.target_sides,
-        poses,
-        batch["K"],
-        batch["inv_K"],
-        warp_type=cfg.warp_type,
-        use_mixture_loss=cfg.model.use_mixture_loss,
-        render_probability=cfg.model.render_probability,
-    )
-
-    if cfg.loss.use_mom and cfg.flip_right:
-        outputs["mask_novel"] = mirror_occlusion_mask(outputs, rec)
 
     if cfg.loss.self_distillation > 0.0 and teacher is not None:
         def teacher_apply(image, grid):
@@ -232,29 +218,55 @@ def process_batch(
         outputs["disp_pp"] = disp_pp
         outputs["mask_novel"] = mask_novel
 
-    if cfg.loss.alpha_self > 0.0:
-        for side in cfg.target_sides:
-            if side == "r":
-                rec[("self_rec", side)] = pred_self_images(
-                    outputs["disp"], batch[f"{color_name}_r"],
-                    batch["Rt_r"], batch["K"], batch["inv_K"],
-                )
+    def synth_and_losses(outputs, batch):
+        """View synthesis + loss assembly.
 
-    losses = compute_losses(
-        cfg.loss,
-        cfg.target_sides,
-        batch,
-        outputs,
-        rec,
-        bundle.pc_apply(pc_params),
-        alpha_pc=cfg.loss.alpha_pc,
-        alpha_smooth=cfg.loss.alpha_smooth,
-        gamma_smooth=cfg.loss.gamma_smooth,
-        alpha_self=cfg.loss.alpha_self,
-        self_distillation=cfg.loss.self_distillation,
-        automask=cfg.loss.automask,
-        use_mixture_loss=cfg.model.use_mixture_loss,
-    )
+        Under ``cfg.remat_warp`` this whole segment is rematerialized in the
+        backward pass: the (B, N, H, W, C) plane stacks are never stored
+        between forward and backward, cutting the dominant activation
+        footprint at HR resolutions.
+        """
+        rec = pred_novel_images(
+            outputs,
+            batch[f"{color_name}_l"],
+            cfg.target_sides,
+            poses,
+            batch["K"],
+            batch["inv_K"],
+            warp_type=cfg.warp_type,
+            use_mixture_loss=cfg.model.use_mixture_loss,
+            render_probability=cfg.model.render_probability,
+            rowshift=cfg.rowshift_warp,
+        )
+        if cfg.loss.use_mom and cfg.flip_right:
+            outputs = dict(outputs)
+            outputs["mask_novel"] = mirror_occlusion_mask(outputs, rec)
+        if cfg.loss.alpha_self > 0.0:
+            for side in cfg.target_sides:
+                if side == "r":
+                    rec[("self_rec", side)] = pred_self_images(
+                        outputs["disp"], batch[f"{color_name}_r"],
+                        batch["Rt_r"], batch["K"], batch["inv_K"],
+                    )
+        return compute_losses(
+            cfg.loss,
+            cfg.target_sides,
+            batch,
+            outputs,
+            rec,
+            bundle.pc_apply(pc_params),
+            alpha_pc=cfg.loss.alpha_pc,
+            alpha_smooth=cfg.loss.alpha_smooth,
+            gamma_smooth=cfg.loss.gamma_smooth,
+            alpha_self=cfg.loss.alpha_self,
+            self_distillation=cfg.loss.self_distillation,
+            automask=cfg.loss.automask,
+            use_mixture_loss=cfg.model.use_mixture_loss,
+        )
+
+    if cfg.remat_warp:
+        synth_and_losses = jax.checkpoint(synth_and_losses)
+    losses = synth_and_losses(outputs, batch)
     return losses, outputs, new_stats
 
 

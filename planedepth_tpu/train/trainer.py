@@ -136,13 +136,45 @@ class Trainer:
             make_eval_step(self.bundle), self.mesh
         )
 
+        def viz_step(state, batch):
+            """Rare forward pass producing TB image panels
+            (reference trainer.py:831-856 ``log_img``)."""
+            outputs, _ = self.bundle.depth_forward(
+                state.params, state.batch_stats, batch["color_aug_l"],
+                batch["grid"], train=False,
+            )
+            from planedepth_tpu.train.view_synthesis import pred_novel_images
+
+            color_name = "color_aug" if cfg.loss.match_aug else "color"
+            rec = pred_novel_images(
+                outputs, batch[f"{color_name}_l"],
+                tuple(s for s in cfg.target_sides if s == "r"),
+                {"r": batch["Rt_r"]}, batch["K"], batch["inv_K"],
+                warp_type=cfg.warp_type,
+                use_mixture_loss=cfg.model.use_mixture_loss,
+                render_probability=cfg.model.render_probability,
+            )
+            out = {"disp": outputs["disp"]}
+            if ("rgb_rec", "r") in rec:
+                out["rgb_rec_r"] = rec[("rgb_rec", "r")]
+            return out
+
+        self.viz_step = jit_eval_step(viz_step, self.mesh)
+
         # logging ------------------------------------------------------------
         self.is_chief = host == 0
         self.logger = Logger(self.log_path, enabled=self.is_chief)
         if self.is_chief:
             self.logger.save_config(cfg.to_json())
+            self._save_provenance()
         self.best_absrel = 10.0
-        self.step_count = 0
+        # resume fast-forward (reference trainer.py:242-244 replays the LR
+        # scheduler; here the schedule is a pure function of the step)
+        self.step_count = cfg.optim.start_epoch * self.steps_per_epoch
+        if self.step_count:
+            self.state = self.state.replace(
+                step=jnp.asarray(self.step_count, jnp.int32)
+            )
         self.meter = ThroughputMeter(
             self.steps_per_epoch * cfg.optim.num_epochs, cfg.per_step_batch
         )
@@ -182,6 +214,8 @@ class Trainer:
                         {k: float(v) for k, v in metrics.items()},
                         self.step_count,
                     )
+            if batch_idx == 0 and self.is_chief:
+                self.log_images("train", batch)
             self.step_count += 1
         self.val(epoch)
 
@@ -208,6 +242,44 @@ class Trainer:
             self.logger.scalars("val", metrics, self.step_count)
             self.logger.metric_row(metrics)
         return metrics
+
+    def log_images(self, mode: str, batch: Dict[str, np.ndarray]):
+        """TB image panels: inputs, reconstruction, normalized disparity
+        (reference trainer.py:831-856)."""
+        from planedepth_tpu.utils.logging import normalize_image
+
+        device_batch = shard_batch(batch, self.mesh)
+        viz = jax.device_get(self.viz_step(self.state, device_batch))
+        images = {}
+        for j in range(min(4, batch["color_l"].shape[0])):
+            images[f"color_l/{j}"] = np.asarray(batch["color_l"][j])
+            images[f"color_r/{j}"] = np.asarray(batch["color_r"][j])
+            if "rgb_rec_r" in viz:
+                images[f"color_pred_r/{j}"] = np.clip(
+                    np.asarray(viz["rgb_rec_r"][j]), 0, 1
+                )
+            disp = normalize_image(np.asarray(viz["disp"][j]))
+            images[f"disp/{j}"] = np.repeat(disp, 3, axis=-1)
+        self.logger.images(mode, images, self.step_count)
+
+    def _save_provenance(self):
+        """Run provenance: git commit + package version (replaces the
+        reference's source-file snapshots, trainer.py:57-67)."""
+        import subprocess
+
+        import planedepth_tpu
+
+        info = {"version": planedepth_tpu.__version__}
+        try:
+            info["git"] = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+            ).stdout.strip()
+        except Exception:
+            pass
+        with open(os.path.join(self.log_path, "provenance.json"), "w") as f:
+            json.dump(info, f, indent=2)
 
     def save(self, tag: str):
         save_checkpoint(

@@ -35,6 +35,7 @@ from planedepth_tpu.models.depth_decoder import (
     mixture_reweight,
     render_probability_from_logits,
 )
+from planedepth_tpu.ops.rowshift import rowshift_sample, rowshift_sample_shared
 from planedepth_tpu.ops.sampling import grid_sample, shift_sample_x
 
 
@@ -109,6 +110,7 @@ def pred_novel_images(
     warp_type: str = "disp_warp",
     use_mixture_loss: bool = True,
     render_probability: bool = False,
+    rowshift: bool = False,
 ) -> Dict:
     """Synthesize every target view (reference trainer.py:523-603).
 
@@ -131,9 +133,31 @@ def pred_novel_images(
     logits = outputs["logits"]
     sigma = outputs.get("sigma") if use_mixture_loss else None
 
+    # Row-constant custom-VJP warp (ops/rowshift.py).  Benchmarked SLOWER
+    # than XLA's native gather+scatter autodiff on v5e (137 vs 277 imgs/s
+    # at 1280x384) — kept as an opt-in for other topologies.
+    disp_rows = outputs.get("disp_rows") if rowshift else None
+
     rec: Dict = {}
     for side in target_sides:
-        if warp_type == "disp_warp" and side in ("l", "r"):
+        if (
+            warp_type == "disp_warp"
+            and side in ("l", "r")
+            and disp_rows is not None
+        ):
+            # scatter-free custom-VJP path (ops/rowshift.py): disparity is
+            # constant along each row for vertical+ground planes
+            sgn = -1.0 if side == "l" else 1.0
+            shift_rows = sgn * disp_rows
+            rgb_l = rowshift_sample_shared(source_rgb, shift_rows)
+            logit_s = rowshift_sample(logits, shift_rows)      # (B,H,W,N)
+            parts = [rgb_l, jnp.moveaxis(logit_s, -1, 1)[..., None]]
+            if sigma is not None:
+                sigma_s = rowshift_sample(sigma, shift_rows)
+                parts.append(jnp.moveaxis(sigma_s, -1, 1)[..., None])
+            sampled = jnp.concatenate(parts, axis=-1)          # (B,N,H,W,C)
+            pmask = jnp.moveaxis(outputs["padding_mask"], -1, 1)
+        elif warp_type == "disp_warp" and side in ("l", "r"):
             shift = disp_warp_shift(disp_layered, side)
             sampled = _sample_plane_stack_shift(source_rgb, logits, sigma, shift)
             pmask = jnp.moveaxis(outputs["padding_mask"], -1, 1)  # (B,N,H,W)

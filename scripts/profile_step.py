@@ -79,7 +79,29 @@ def main():
 
     full = jax.jit(make_train_step(bundle, tx))
 
+    @jax.jit
+    def grad_fwd(state, batch):
+        """Backward through the conv trunk only (dummy loss on disp)."""
+        from planedepth_tpu.train.flip import add_flip_right_inputs
+
+        b = add_flip_right_inputs(batch)
+
+        def loss_fn(params):
+            out, _ = bundle.depth_forward(
+                params, state.batch_stats, b["color_aug_l"], b["grid"],
+                train=True, dropout_rng=jax.random.PRNGKey(0),
+            )
+            return jnp.mean(out["disp"])
+
+        g = jax.grad(loss_fn)(state.params)
+        return jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0
+        )
+
     print(f"shape {H}x{W} per-step batch {pb} (effective {2*pb})")
+    if variant == "grad_fwd":
+        t = timeit(grad_fwd, state, batch)
+        print(f"grad(conv trunk)    : {t*1e3:8.2f} ms")
     if variant in ("all", "fwd"):
         t = timeit(fwd_only, state, batch)
         print(f"forward only        : {t*1e3:8.2f} ms")

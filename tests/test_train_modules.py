@@ -72,6 +72,7 @@ def test_view_synthesis_zero_disp_is_identity():
     cfg, bundle, params, stats, out = _outputs_for(mc, batch)
     out = dict(out)
     out["disp_layered"] = jnp.zeros_like(out["disp_layered"])
+    out["disp_rows"] = jnp.zeros_like(out["disp_rows"])
     rec = pred_novel_images(
         out, batch["color_l"], ("r",), {"r": batch["Rt_r"]},
         batch["K"], batch["inv_K"], warp_type="disp_warp",
