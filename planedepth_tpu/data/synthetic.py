@@ -49,6 +49,7 @@ def make_stereo_batch(
     width: int = 96,
     seed: int = 0,
     constant_disp: Optional[float] = None,
+    novel_frame_ids=(),
 ) -> Dict[str, np.ndarray]:
     """Build a training-batch dict in the framework's key convention.
 
@@ -88,7 +89,20 @@ def make_stereo_batch(
     Rt_r = np.broadcast_to(np.eye(4, dtype=np.float32), (batch_size, 4, 4)).copy()
     Rt_r[:, 0, 3] = -0.1
 
-    return {
+    out = {}
+    for f in novel_frame_ids:
+        # temporal neighbors: small horizontal ego-motion of the left view
+        shift = np.full((height, width), 1.5 * f, np.float32)
+        frames = np.stack([shift_image(img, shift) for img in colors_l])
+        out[f"color_{f}"] = frames.astype(np.float32)
+        out[f"color_aug_{f}"] = frames.astype(np.float32).copy()
+        Rt = np.broadcast_to(
+            np.eye(4, dtype=np.float32), (batch_size, 4, 4)
+        ).copy()
+        Rt[:, 0, 3] = 0.02 * f
+        out[f"Rt_{f}"] = Rt
+
+    return out | {
         "color_l": color_l,
         "color_r": color_r,
         "color_aug_l": color_l.copy(),

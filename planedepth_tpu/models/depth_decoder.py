@@ -93,14 +93,18 @@ def mixture_reweight(
     """``weights = pi / sigma`` renormalized over planes
     (reference depth_decoder.py:281-285).
 
-    The 1e-12 denominator guard repairs an unguarded division in the
-    reference (depth_decoder.py:284): under render_probability every
-    unmasked plane can carry zero alpha at init, making the weight sum 0.
+    The guarded division repairs an unguarded one in the reference
+    (depth_decoder.py:284): under render_probability every unmasked plane
+    can carry zero alpha at init, making the weight sum 0 — the safe-where
+    form also keeps the BACKWARD finite (a bare +eps still produces 1/eps
+    gradient blowups at those pixels).
     """
     w = probability / sigma
     if padding_mask is not None:
         w = w * padding_mask
-    return w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-12)
+    s = jnp.sum(w, axis=-1, keepdims=True)
+    safe = jnp.maximum(s, 1e-7)
+    return jnp.where(s > 1e-7, w / safe, 0.0)
 
 
 class DepthDecoder(nn.Module):

@@ -33,10 +33,15 @@ def multimodal_nll(
 
     ``-log(sum_n pi_n * p(error_n; sigma_n) + 1e-7)``
     (reference layers.py:465-466).  Keeps the reduced axis with size 1.
+
+    The clamp-to-zero guards the render_probability+ground-planes combo,
+    where inter-plane distances go negative at the vertical->ground
+    junction and the alpha-composited "probabilities" leave [0, 1] — the
+    reference takes log of a negative mixture there (NaN).
     """
     pdf = gaussian_pdf if dist == "gaussian" else laplacian_pdf
     mix = jnp.sum(pi * pdf(error, sigma), axis=axis, keepdims=True)
-    return -jnp.log(mix + 1e-7)
+    return -jnp.log(jnp.maximum(mix, 0.0) + 1e-7)
 
 
 def smooth_loss_disp(

@@ -98,10 +98,29 @@ def main():
             lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0
         )
 
+    @jax.jit
+    def grad_full(state, batch):
+        """Backward through the whole loss (no optimizer update)."""
+
+        def loss_fn(params):
+            losses, _, _ = process_batch(
+                bundle, params, state.batch_stats, None, state.pc_params,
+                batch, jax.random.PRNGKey(0), train=True,
+            )
+            return losses["loss/total_loss"]
+
+        g = jax.grad(loss_fn)(state.params)
+        return jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(jnp.abs(x)), g, 0.0
+        )
+
     print(f"shape {H}x{W} per-step batch {pb} (effective {2*pb})")
     if variant == "grad_fwd":
         t = timeit(grad_fwd, state, batch)
         print(f"grad(conv trunk)    : {t*1e3:8.2f} ms")
+    if variant == "grad_full":
+        t = timeit(grad_full, state, batch)
+        print(f"grad(full loss)     : {t*1e3:8.2f} ms")
     if variant in ("all", "fwd"):
         t = timeit(fwd_only, state, batch)
         print(f"forward only        : {t*1e3:8.2f} ms")
