@@ -23,7 +23,7 @@ REF_IMGS_PER_SEC_PER_CHIP = 2.0   # documented estimate, see module docstring
 H, W = 384, 1280
 
 
-def run_bench(per_step_batch: int):
+def run_bench(per_step_batch: int, remat: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +43,7 @@ def run_bench(per_step_batch: int):
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=True,
+        remat_warp=remat,
     )
     bundle = ModelBundle(cfg)
     params, batch_stats, pc_params = bundle.init(jax.random.PRNGKey(0), H, W)
@@ -71,6 +72,21 @@ def run_bench(per_step_batch: int):
 
 
 def main():
+    # manual mode: bench.py <per_step_batch> [remat]
+    if len(sys.argv) > 1:
+        pb = int(sys.argv[1])
+        remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
+        imgs_per_sec, loss = run_bench(pb, remat)
+        print(json.dumps({
+            "metric": "train_imgs_per_sec_per_chip_1280x384",
+            "value": round(imgs_per_sec, 3),
+            "unit": "imgs/s/chip",
+            "vs_baseline": round(imgs_per_sec / REF_IMGS_PER_SEC_PER_CHIP, 3),
+            "per_step_batch": pb,
+            "remat": remat,
+        }))
+        return
+
     last_err = None
     for per_step_batch in (4, 2, 1):
         try:

@@ -121,6 +121,42 @@ def main():
     if variant == "grad_full":
         t = timeit(grad_full, state, batch)
         print(f"grad(full loss)     : {t*1e3:8.2f} ms")
+    if variant == "step_donated":
+        step = jax.jit(make_train_step(bundle, tx), donate_argnums=(0,))
+        rng_ = rng
+        state_, m = step(state, batch, rng_)
+        jax.block_until_ready(m["loss/total_loss"])
+        import time as _t
+
+        n = 10
+        t0 = _t.perf_counter()
+        for _ in range(n):
+            state_, m = step(state_, batch, rng_)
+        jax.block_until_ready(m["loss/total_loss"])
+        t = (_t.perf_counter() - t0) / n
+        print(f"train step (donated): {t*1e3:8.2f} ms ({pb/t:.2f} imgs/s)")
+    if variant == "opt_only":
+        # optimizer update alone on a grad-shaped pytree
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+
+        @jax.jit
+        def opt_step(opt_state, params, grads):
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, params, updates
+            )
+            return new_opt, new_params
+
+        o, p = opt_step(state.opt_state, state.params, grads)
+        jax.block_until_ready(jax.tree_util.tree_leaves(p)[0])
+        import time as _t
+
+        n = 20
+        t0 = _t.perf_counter()
+        for _ in range(n):
+            o, p = opt_step(o, p, grads)
+        jax.block_until_ready(jax.tree_util.tree_leaves(p)[0])
+        print(f"adam update only    : {(_t.perf_counter()-t0)/n*1e3:8.2f} ms")
     if variant in ("all", "fwd"):
         t = timeit(fwd_only, state, batch)
         print(f"forward only        : {t*1e3:8.2f} ms")
