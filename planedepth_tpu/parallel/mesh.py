@@ -19,17 +19,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
 
 
-def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+def make_mesh(devices: Optional[Sequence] = None,
+              spatial: int = 1) -> Mesh:
+    """Data-parallel mesh, optionally 2-D with a spatial axis.
+
+    ``spatial > 1`` additionally shards image ROWS across chips (SURVEY.md
+    §5: the plane-sweep's receptive field along H is local, so halo
+    exchanges are small and GSPMD inserts them automatically for the convs).
+    Use when a single chip's HBM cannot hold the HR plane volume.
+    """
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    devices = np.asarray(devices)
+    if spatial == 1:
+        return Mesh(devices, (DATA_AXIS,))
+    assert len(devices) % spatial == 0
+    return Mesh(
+        devices.reshape(len(devices) // spatial, spatial),
+        (DATA_AXIS, SPATIAL_AXIS),
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) axis sharded over the data axis."""
+    """Batch axis over 'data'; image rows over 'spatial' when present."""
+    if SPATIAL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -38,11 +55,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch onto the mesh, sharded along axis 0."""
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch
-    )
+    """Place a host batch onto the mesh, sharded along axis 0 (and image
+    rows along 'spatial' for rank>=3 arrays on a 2-D mesh)."""
+    data_only = NamedSharding(mesh, P(DATA_AXIS))
+    full = batch_sharding(mesh)
+
+    def put(x):
+        sh = full if getattr(x, "ndim", 0) >= 3 else data_only
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate_state(tree: Any, mesh: Mesh) -> Any:
@@ -53,22 +75,20 @@ def replicate_state(tree: Any, mesh: Mesh) -> Any:
 
 
 def jit_train_step(train_step, mesh: Mesh):
-    """jit the train step with batch sharded / state replicated.
+    """jit the train step with state replicated, batch sharding inherited
+    from the arguments (see :func:`shard_batch`).
 
-    With these in_shardings, gradients of replicated params w.r.t. a sharded
-    batch produce an automatic psum over ``data`` — the DDP all-reduce.
+    Gradients of replicated params w.r.t. a sharded batch produce an
+    automatic psum over ``data`` (and ``spatial``) — the DDP all-reduce.
     """
-    bs = batch_sharding(mesh)
     rep = replicated(mesh)
     return jax.jit(
         train_step,
-        in_shardings=(rep, bs, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
 
 
 def jit_eval_step(eval_step, mesh: Mesh):
-    bs = batch_sharding(mesh)
     rep = replicated(mesh)
-    return jax.jit(eval_step, in_shardings=(rep, bs), out_shardings=rep)
+    return jax.jit(eval_step, out_shardings=rep)

@@ -190,11 +190,26 @@ class Trainer:
             if self.is_chief:
                 self.save("last_models")
 
+    def _device_prefetch(self, epoch: int):
+        """Double-buffered device placement: the next batch's H2D transfer
+        overlaps the current step's compute (device_put is async)."""
+        it = self.train_loader.epoch(epoch)
+        prev_host = None
+        prev_dev = None
+        for batch in it:
+            dev = shard_batch(batch, self.mesh)
+            if prev_dev is not None:
+                yield prev_host, prev_dev
+            prev_host, prev_dev = batch, dev
+        if prev_dev is not None:
+            yield prev_host, prev_dev
+
     def run_epoch(self, epoch: int):
         cfg = self.cfg
-        for batch_idx, batch in enumerate(self.train_loader.epoch(epoch)):
+        for batch_idx, (batch, device_batch) in enumerate(
+            self._device_prefetch(epoch)
+        ):
             t0 = time.time()
-            device_batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.train_step(
                 self.state, device_batch, self.rng
             )

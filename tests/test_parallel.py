@@ -39,6 +39,37 @@ def _cfg():
     )
 
 
+def test_spatial_mesh_2x2_matches_single_device():
+    """2-D (data x spatial) mesh: image rows sharded across chips — the
+    SURVEY §5 scaling axis for HBM-bound HR volumes."""
+    cfg = _cfg().replace(batch_size=4)
+    bundle = ModelBundle(cfg)
+    params, batch_stats, _ = bundle.init(jax.random.PRNGKey(0), H, W)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    batch_np = make_stereo_batch(4, H, W, seed=13)
+    rng = jax.random.PRNGKey(3)
+
+    state1 = create_train_state(params, batch_stats, tx)
+    step1 = jax.jit(make_train_step(bundle, tx))
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    _, m1 = step1(state1, batch1, rng)
+
+    mesh = make_mesh(jax.devices()[:4], spatial=2)
+    state4 = create_train_state(params, batch_stats, tx)
+    state4 = replicate_state(state4, mesh)
+    step4 = jit_train_step(make_train_step(bundle, tx), mesh)
+    batch4 = shard_batch(batch_np, mesh)
+    rng4 = jax.device_put(
+        rng, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    _, m4 = step4(state4, batch4, rng4)
+
+    np.testing.assert_allclose(
+        float(m1["loss/total_loss"]), float(m4["loss/total_loss"]),
+        rtol=5e-4,
+    )
+
+
 def test_eight_device_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     cfg = _cfg()
