@@ -139,6 +139,12 @@ class TrainConfig:
     # use the row-constant custom-VJP warp (ops/rowshift.py); measured
     # slower than XLA autodiff on v5e, may win elsewhere
     rowshift_warp: bool = False
+    # fused Pallas plane-sweep (ops/pallas_sweep.py) for the stereo
+    # disp_warp + mixture-loss hot path: no warped plane stacks or gather
+    # index arrays ever materialize.  Falls back to the XLA oracle when the
+    # configuration doesn't match (render_probability, mom, yz planes,
+    # temporal targets, non-mixture loss).
+    fused_sweep: bool = True
 
     def __post_init__(self):
         if self.loss.use_mom and not self.flip_right:

@@ -102,9 +102,11 @@ def mixture_reweight(
     w = probability / sigma
     if padding_mask is not None:
         w = w * padding_mask
+    # guard via a (B, H, W, 1) reciprocal so the backward saves no extra
+    # full-size (B, H, W, N) residuals (each is ~5 GB at HR batch 8)
     s = jnp.sum(w, axis=-1, keepdims=True)
-    safe = jnp.maximum(s, 1e-7)
-    return jnp.where(s > 1e-7, w / safe, 0.0)
+    inv = jnp.where(s > 1e-7, 1.0 / jnp.maximum(s, 1e-7), 0.0)
+    return w * inv
 
 
 class DepthDecoder(nn.Module):

@@ -218,6 +218,20 @@ def process_batch(
         outputs["disp_pp"] = disp_pp
         outputs["mask_novel"] = mask_novel
 
+    fused_ok = (
+        cfg.fused_sweep
+        and cfg.warp_type == "disp_warp"
+        and cfg.model.use_mixture_loss
+        and not cfg.model.render_probability
+        and not cfg.loss.use_mom
+        and cfg.model.planes.yz_levels == 0
+        and tuple(cfg.target_sides) == ("r",)
+        and cfg.loss.alpha_self == 0.0
+    )
+    if fused_ok:
+        losses = fused_stereo_losses(bundle, cfg, outputs, batch, pc_params)
+        return losses, outputs, new_stats
+
     def synth_and_losses(outputs, batch):
         """View synthesis + loss assembly.
 
@@ -237,6 +251,7 @@ def process_batch(
             use_mixture_loss=cfg.model.use_mixture_loss,
             render_probability=cfg.model.render_probability,
             rowshift=cfg.rowshift_warp,
+            sample_dtype=jnp.bfloat16 if cfg.bf16 else None,
         )
         if cfg.loss.use_mom and cfg.flip_right:
             outputs = dict(outputs)
@@ -268,6 +283,78 @@ def process_batch(
         synth_and_losses = jax.checkpoint(synth_and_losses)
     losses = synth_and_losses(outputs, batch)
     return losses, outputs, new_stats
+
+
+def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
+    """Stage-1/HR/SD stereo loss path via the fused Pallas plane sweep.
+
+    Semantically identical to the oracle (tested in
+    tests/test_pallas_sweep.py): photometric mixture NLL with optional
+    automask min and mask_novel, perceptual on the composited
+    reconstruction, self-distillation L1, edge-aware smoothness.
+    """
+    from planedepth_tpu.ops.losses import smooth_loss_disp
+    from planedepth_tpu.ops.pallas_sweep import fused_plane_sweep
+    from planedepth_tpu.train.losses import perceptual_loss
+
+    color_name = "color_aug" if cfg.loss.match_aug else "color"
+    source = batch[f"{color_name}_l"]
+    target = batch[f"{color_name}_r"]
+
+    # pad covers the max disparity incl. plane-residual overshoot; shifts
+    # are clipped to the pad as a backstop inside the wrapper
+    pad = int(cfg.model.planes.disp_max * 1.08) + 4
+
+    src_t = jnp.moveaxis(source.astype(jnp.float32), -1, 1)
+    tgt_t = jnp.moveaxis(target.astype(jnp.float32), -1, 1)
+    logits_t = jnp.moveaxis(outputs["logits"], -1, 1)
+    sigma_t = jnp.moveaxis(outputs["sigma"], -1, 1)
+    shift = outputs["disp_rows"]                    # target 'r': x + disp
+    mask_rows = outputs["padding_mask"][:, :, 0, :]
+
+    interpret = jax.default_backend() != "tpu"   # CPU tests: interpret mode
+    rgb_t, nll, nll_auto = fused_plane_sweep(
+        src_t, tgt_t, logits_t, sigma_t, shift, mask_rows, pad, interpret
+    )
+    rgb_rec = jnp.moveaxis(rgb_t, 1, -1)
+
+    ph = nll[..., None]
+    if cfg.loss.automask:
+        ph = jnp.minimum(ph, nll_auto[..., None])
+    mask_novel = outputs.get("mask_novel")
+    if mask_novel is not None:
+        ph = ph * mask_novel
+    ph_loss = jnp.mean(ph)
+
+    losses = {"loss/ph_loss": ph_loss, "loss/pc_loss": 0.0}
+    total = ph_loss
+
+    pc_apply = bundle.pc_apply(pc_params)
+    if pc_apply is not None:
+        # photometric mask_novel blend applies to the perceptual input too
+        pred = rgb_rec
+        if mask_novel is not None:
+            pred = pred * mask_novel + target * (1.0 - mask_novel)
+        pc = perceptual_loss(
+            pc_apply, pred, target, source if cfg.loss.automask else None
+        )
+        losses["loss/pc_loss"] = pc
+        total += cfg.loss.alpha_pc * pc
+
+    if cfg.loss.self_distillation > 0 and "disp_pp" in outputs:
+        disp_loss = jnp.mean(jnp.abs(outputs["disp"] - outputs["disp_pp"]))
+        losses["loss/disp_loss"] = disp_loss
+        total += cfg.loss.self_distillation * disp_loss
+
+    W = outputs["disp"].shape[2]
+    x0 = int(0.2 * W)
+    smooth = smooth_loss_disp(
+        outputs["disp"][:, :, x0:, :], batch["color_l"][:, :, x0:, :],
+        gamma=cfg.loss.gamma_smooth,
+    )
+    losses["loss/smooth_loss"] = smooth
+    losses["loss/total_loss"] = total + cfg.loss.alpha_smooth * smooth
+    return losses
 
 
 def make_train_step(bundle: ModelBundle, tx) -> Callable:

@@ -111,6 +111,7 @@ def pred_novel_images(
     use_mixture_loss: bool = True,
     render_probability: bool = False,
     rowshift: bool = False,
+    sample_dtype=None,
 ) -> Dict:
     """Synthesize every target view (reference trainer.py:523-603).
 
@@ -132,6 +133,14 @@ def pred_novel_images(
     B, H, W, N = disp_layered.shape
     logits = outputs["logits"]
     sigma = outputs.get("sigma") if use_mixture_loss else None
+    # sample in bf16: the warped plane stacks are the activation-memory
+    # peak at HR (f32[63,B,H,W,5] = 7.4G padded at batch 8); the softmax /
+    # mixture math downstream recomputes in f32 from the bf16 samples
+    if sample_dtype is not None:
+        logits = logits.astype(sample_dtype)
+        if sigma is not None:
+            sigma = sigma.astype(sample_dtype)
+        source_rgb = source_rgb.astype(sample_dtype)
 
     # Row-constant custom-VJP warp (ops/rowshift.py).  Benchmarked SLOWER
     # than XLA's native gather+scatter autodiff on v5e (137 vs 277 imgs/s
@@ -176,10 +185,12 @@ def pred_novel_images(
         else:
             raise ValueError(f"unknown warp_type {warp_type}")
 
-        sampled = sampled * pmask[..., None]              # (B, N, H, W, C)
+        sampled = sampled * pmask[..., None].astype(sampled.dtype)
 
         rgb_layered = sampled[..., :3]                    # (B, N, H, W, 3)
-        logit_rec = jnp.moveaxis(sampled[..., 3], 1, -1)  # (B, H, W, N)
+        logit_rec = jnp.moveaxis(sampled[..., 3], 1, -1).astype(
+            jnp.float32
+        )                                                 # (B, H, W, N)
 
         if render_probability:
             # stereo pair shares the layered depths, so source-view dists are
@@ -197,7 +208,8 @@ def pred_novel_images(
         }
         if use_mixture_loss:
             sigma_rec = jnp.clip(
-                jnp.moveaxis(sampled[..., 4], 1, -1), 0.01, 1.0
+                jnp.moveaxis(sampled[..., 4], 1, -1).astype(jnp.float32),
+                0.01, 1.0,
             )
             out_side["sigma_rec"] = sigma_rec
             out_side["pi_rec"] = prob_rec
@@ -206,7 +218,9 @@ def pred_novel_images(
 
         # composite: sum_n p_n * rgb_n  (reference trainer.py:603)
         prob_n = jnp.moveaxis(prob_rec, -1, 1)[..., None]  # (B, N, H, W, 1)
-        out_side["rgb_rec"] = jnp.sum(rgb_layered * prob_n, axis=1)
+        out_side["rgb_rec"] = jnp.sum(
+            rgb_layered.astype(jnp.float32) * prob_n, axis=1
+        )
 
         for k, v in out_side.items():
             rec[(k, side)] = v

@@ -1,0 +1,62 @@
+"""The fused-sweep train step == the oracle train step (loss + update)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planedepth_tpu.config import (
+    DataConfig, LossConfig, ModelConfig, OptimConfig, PlaneConfig, TrainConfig,
+)
+from planedepth_tpu.data.synthetic import make_stereo_batch
+from planedepth_tpu.train import (
+    ModelBundle, create_train_state, make_optimizer, make_train_step,
+)
+
+H, W = 64, 96
+
+
+def _cfg(fused):
+    return TrainConfig(
+        batch_size=2,
+        flip_right=True,
+        model=ModelConfig(
+            net_type="ResNet", num_layers=18, use_denseaspp=False,
+            use_mixture_loss=True, plane_residual=True, num_ep=0,
+            planes=PlaneConfig(disp_levels=7, disp_min=2, disp_max=24,
+                               xz_levels=3, yz_levels=0),
+        ),
+        loss=LossConfig(alpha_pc=0.0, automask=True),
+        data=DataConfig(height=H, width=W),
+        optim=OptimConfig(learning_rate=1e-4),
+        bf16=False,
+        fused_sweep=fused,
+    )
+
+
+def _one_step(fused):
+    cfg = _cfg(fused)
+    bundle = ModelBundle(cfg)
+    params, stats, _ = bundle.init(jax.random.PRNGKey(0), H, W)
+    tx = make_optimizer(cfg, 10)
+    state = create_train_state(params, stats, tx)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_stereo_batch(1, H, W, seed=4).items()}
+    step = jax.jit(make_train_step(bundle, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    return state, metrics
+
+
+def test_fused_step_matches_oracle_step():
+    s_f, m_f = _one_step(True)
+    s_o, m_o = _one_step(False)
+    for k in ("loss/ph_loss", "loss/smooth_loss", "loss/total_loss"):
+        np.testing.assert_allclose(
+            float(m_f[k]), float(m_o[k]), rtol=2e-4, err_msg=k,
+        )
+    # identical parameter updates (same gradients through both paths)
+    lf = jax.tree_util.tree_leaves(s_f.params)
+    lo = jax.tree_util.tree_leaves(s_o.params)
+    worst = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(lf, lo)
+    )
+    assert worst < 5e-5, worst

@@ -1,0 +1,122 @@
+"""Fused Pallas plane-sweep: forward vs dense oracle, custom VJP vs autodiff,
+and oracle vs the existing view-synthesis + mixture-NLL composition."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from planedepth_tpu.ops.pallas_sweep import (
+    fused_plane_sweep,
+    oracle_dense,
+    sweep_forward,
+)
+
+B, H, W, N = 2, 8, 64, 6
+PAD = 12
+RNG = np.random.default_rng(17)
+
+
+def _inputs():
+    src = RNG.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+    tgt = RNG.uniform(0, 1, (B, 3, H, W)).astype(np.float32)
+    logits = RNG.standard_normal((B, N, H, W)).astype(np.float32)
+    sigma = RNG.uniform(0.05, 0.95, (B, N, H, W)).astype(np.float32)
+    shift = RNG.uniform(-8.0, 8.0, (B, H, N)).astype(np.float32)
+    mask = (RNG.uniform(0, 1, (B, H, N)) > 0.2).astype(np.float32)
+    return tuple(jnp.asarray(x) for x in (src, tgt, logits, sigma, shift,
+                                          mask))
+
+
+def test_kernel_forward_matches_oracle():
+    args = _inputs()
+    rgb_k, nll_k, nlla_k = sweep_forward(*args, pad=PAD, rows=4,
+                                         interpret=True)
+    rgb_o, nll_o, nlla_o = oracle_dense(*args)
+    np.testing.assert_allclose(np.asarray(rgb_k), np.asarray(rgb_o),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nll_k), np.asarray(nll_o),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nlla_k), np.asarray(nlla_o),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_custom_vjp_matches_autodiff():
+    args = _inputs()
+    g_rgb = jnp.asarray(RNG.standard_normal((B, 3, H, W)).astype(np.float32))
+    g_nll = jnp.asarray(RNG.standard_normal((B, H, W)).astype(np.float32))
+    g_nla = jnp.asarray(RNG.standard_normal((B, H, W)).astype(np.float32))
+
+    def scalarize(fn):
+        def wrapped(src, tgt, logits, sigma, shift):
+            rgb, nll, nlla = fn(src, tgt, logits, sigma, shift, args[5])
+            return (
+                jnp.sum(rgb * g_rgb) + jnp.sum(nll * g_nll)
+                + jnp.sum(nlla * g_nla)
+            )
+        return wrapped
+
+    fused = scalarize(
+        lambda *a: fused_plane_sweep(*a, PAD, True)
+    )
+    oracle = scalarize(oracle_dense)
+
+    grads_f = jax.grad(fused, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    grads_o = jax.grad(oracle, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    names = ("src", "target", "logits", "sigma", "shift")
+    for gf, go, name in zip(grads_f, grads_o, names):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(go), rtol=2e-3, atol=2e-4,
+            err_msg=name,
+        )
+
+
+def test_oracle_matches_view_synthesis_composition():
+    """The fused op's math == pred_novel_images + multimodal_nll."""
+    from planedepth_tpu.ops.losses import multimodal_nll
+    from planedepth_tpu.train.view_synthesis import pred_novel_images
+
+    src, tgt, logits, sigma, shift, mask = _inputs()
+    # row-constant full tensors for the oracle path (plane axis last)
+    logits_l = jnp.moveaxis(logits, 1, -1)
+    sigma_l = jnp.clip(jnp.moveaxis(sigma, 1, -1), 0.01, 1.0)
+    disp_rows = shift                                      # 'r' side: +disp
+    disp_layered = jnp.broadcast_to(
+        disp_rows[:, :, None, :], (B, H, W, N)
+    )
+    mask_full = jnp.broadcast_to(mask[:, :, None, :], (B, H, W, N))
+    outputs = {
+        "disp_layered": disp_layered,
+        "padding_mask": mask_full,
+        "logits": logits_l,
+        "sigma": sigma_l,
+    }
+    src_l = jnp.moveaxis(src, 1, -1)
+    tgt_l = jnp.moveaxis(tgt, 1, -1)
+    rec = pred_novel_images(
+        outputs, src_l, ("r",), {"r": None}, None, None,
+        warp_type="disp_warp", use_mixture_loss=True,
+    )
+    err = jnp.moveaxis(
+        jnp.mean(jnp.abs(rec[("rgb_rec_layered", "r")] - tgt_l[:, None]),
+                 -1), 1, -1,
+    )
+    nll_ref = multimodal_nll(
+        err, rec[("sigma_rec", "r")], rec[("pi_rec", "r")], dist="lap"
+    )[..., 0]
+    err_auto = jnp.mean(jnp.abs(src_l - tgt_l), -1, keepdims=True)
+    nlla_ref = multimodal_nll(
+        err_auto, rec[("sigma_rec", "r")], rec[("pi_rec", "r")], dist="lap"
+    )[..., 0]
+
+    rgb_o, nll_o, nlla_o = oracle_dense(
+        src, tgt, logits, sigma_l_t := jnp.moveaxis(sigma_l, -1, 1), shift,
+        mask,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(rgb_o, 1, -1)),
+        np.asarray(rec[("rgb_rec", "r")]), rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(nll_o), np.asarray(nll_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nlla_o), np.asarray(nlla_ref),
+                               rtol=1e-4, atol=1e-4)
