@@ -141,10 +141,12 @@ class TrainConfig:
     rowshift_warp: bool = False
     # fused Pallas plane-sweep (ops/pallas_sweep.py) for the stereo
     # disp_warp + mixture-loss hot path: no warped plane stacks or gather
-    # index arrays ever materialize.  Falls back to the XLA oracle when the
-    # configuration doesn't match (render_probability, mom, yz planes,
-    # temporal targets, non-mixture loss).
-    fused_sweep: bool = True
+    # index arrays ever materialize (activation memory ~N x smaller).  On
+    # v5e the hand-rolled backward is slower than XLA's gather/scatter
+    # autodiff (90 ms vs ~6 ms at HR batch 8), so the oracle is the default
+    # and this is the memory-bound escape hatch for batch sizes whose
+    # stacks exceed HBM.
+    fused_sweep: bool = False
 
     def __post_init__(self):
         if self.loss.use_mom and not self.flip_right:

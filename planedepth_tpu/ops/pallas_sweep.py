@@ -39,6 +39,91 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 
 
+def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
+                   R, W, pad):
+    """Shared in-kernel sampling helpers.
+
+    Two variants per quantity: ``*_vec`` exploits row-constant shifts
+    (vertical planes — one (R, W)-wide window per tap) and ``*_rows``
+    handles per-row shifts (ground planes).  All gathers are lane-aligned
+    dynamic slices + dynamic lane rolls (Mosaic requires slice starts that
+    are multiples of 128).
+    """
+    WQ = W + 128
+
+    def taps(r, n):
+        s = shift_ref[r, n]
+        k = jnp.floor(s)
+        return pad + k.astype(jnp.int32), (s - k).astype(F32)
+
+    def roll_amt(start):
+        q = pl.multiple_of((start // 128) * 128, 128)
+        return q, (WQ - (start - q)) % WQ
+
+    def window_row(ref, pre, r, start):
+        q, amt = roll_amt(start)
+        if pre is None:
+            win = ref[:, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
+            return pltpu.roll(win, amt, axis=2)[:, :, :W]
+        win = ref[pre, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
+        return pltpu.roll(win, amt, axis=1)[:, :W]
+
+    def window_vec(ref, pre, start):
+        q, amt = roll_amt(start)
+        if pre is None:
+            win = ref[:, :, pl.ds(q, WQ)].astype(F32)      # (3, R, WQ)
+            return pltpu.roll(win, amt, axis=2)[:, :, :W]
+        win = ref[pre, :, pl.ds(q, WQ)].astype(F32)        # (R, WQ)
+        return pltpu.roll(win, amt, axis=1)[:, :W]
+
+    def sample_ls_rows(n):
+        l_rows, s_rows = [], []
+        for r in range(R):
+            p, f = taps(r, n)
+            m = mask_ref[r, n]
+            l = (1.0 - f) * window_row(log_ref, n, r, p) + f * window_row(
+                log_ref, n, r, p + 1
+            )
+            s = (1.0 - f) * window_row(sig_ref, n, r, p) + f * window_row(
+                sig_ref, n, r, p + 1
+            )
+            l_rows.append(l * m)
+            s_rows.append(jnp.clip(s * m, 0.01, 1.0))
+        return (jnp.concatenate(l_rows, 0), jnp.concatenate(s_rows, 0))
+
+    def sample_ls_vec(n):
+        p, f = taps(0, n)
+        m = mask_ref[0, n]
+        l = (1.0 - f) * window_vec(log_ref, n, p) + f * window_vec(
+            log_ref, n, p + 1
+        )
+        s = (1.0 - f) * window_vec(sig_ref, n, p) + f * window_vec(
+            sig_ref, n, p + 1
+        )
+        return l * m, jnp.clip(s * m, 0.01, 1.0)
+
+    def sample_c_rows(n):
+        rows_c = []
+        for r in range(R):
+            p, f = taps(r, n)
+            m = mask_ref[r, n]
+            c = (1.0 - f) * window_row(src_ref, None, r, p) + f * window_row(
+                src_ref, None, r, p + 1
+            )
+            rows_c.append(c * m)
+        return jnp.concatenate(rows_c, axis=1)             # (3, R, W)
+
+    def sample_c_vec(n):
+        p, f = taps(0, n)
+        m = mask_ref[0, n]
+        c = (1.0 - f) * window_vec(src_ref, None, p) + f * window_vec(
+            src_ref, None, p + 1
+        )
+        return c * m
+
+    return sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec
+
+
 def _fwd_kernel(
     shift_ref,   # (R, N) SMEM  signed source offsets
     mask_ref,    # (R, N) SMEM  row plane-validity
@@ -53,45 +138,40 @@ def _fwd_kernel(
     s_scr,       # (N, R, W) VMEM scratch: sampled+clamped sigmas
     *,
     n_planes: int,
+    n_vertical: int,
     rows: int,
     width: int,
     pad: int,
 ):
     N, R, W = n_planes, rows, width
+    NV = n_vertical
+    WQ = W + 128            # aligned window: residual lane shift < 128
 
-    def taps(r, n):
-        s = shift_ref[r, n]
-        k = jnp.floor(s)
-        return pad + k.astype(jnp.int32), (s - k).astype(F32)
+    helpers = _make_samplers(
+        shift_ref, mask_ref, src_ref, log_ref, sig_ref, R, W, pad
+    )
+    sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec = helpers
 
-    def sample2(ref, n, r):
-        """(1-f)*ref[n, r, p+k : p+k+W] + f*ref[..+1..] as (W,) f32."""
-        p, f = taps(r, n)
-        a = ref[n, r, pl.ds(p, W)].astype(F32)
-        b = ref[n, r, pl.ds(p + 1, W)].astype(F32)
-        return (1.0 - f) * a + f * b
-
-    def sample_rgb(r, n):
-        p, f = taps(r, n)
-        a = src_ref[:, r, pl.ds(p, W)].astype(F32)
-        b = src_ref[:, r, pl.ds(p + 1, W)].astype(F32)
-        return (1.0 - f) * a + f * b                      # (3, W)
+    def fill(n, sampler):
+        l_n, s_n = sampler(n)
+        l_scr[n] = l_n
+        s_scr[n] = s_n
+        return l_n
 
     # ---- pass 1: logits & sigma samples + online logsumexp ----------------
-    def pass1(n, carry):
-        m_run, s_run = carry
-        for r in range(R):
-            m = mask_ref[r, n]
-            l_scr[n, r] = sample2(log_ref, n, r) * m
-            s_scr[n, r] = jnp.clip(sample2(sig_ref, n, r) * m, 0.01, 1.0)
-        l_n = l_scr[n]                                    # (R, W)
-        m_new = jnp.maximum(m_run, l_n)
-        s_run = s_run * jnp.exp(m_run - m_new) + jnp.exp(l_n - m_new)
-        return m_new, s_run
+    def pass1(sampler):
+        def body(n, carry):
+            m_run, s_run = carry
+            l_n = fill(n, sampler)
+            m_new = jnp.maximum(m_run, l_n)
+            return m_new, s_run * jnp.exp(m_run - m_new) + jnp.exp(
+                l_n - m_new
+            )
+        return body
 
-    m_run = jnp.full((R, W), -1e30, F32)
-    s_run = jnp.zeros((R, W), F32)
-    m_run, s_run = jax.lax.fori_loop(0, N, pass1, (m_run, s_run))
+    carry = (jnp.full((R, W), -1e30, F32), jnp.zeros((R, W), F32))
+    carry = jax.lax.fori_loop(0, NV, pass1(sample_ls_vec), carry)
+    m_run, s_run = jax.lax.fori_loop(NV, N, pass1(sample_ls_rows), carry)
     lse = m_run + jnp.log(s_run)                          # (R, W)
 
     # ---- pass 2: mixture-weight normalizer U = sum_n pi_n / sigma_n --------
@@ -107,44 +187,283 @@ def _fwd_kernel(
         jnp.abs(src_ref[:, :, pl.ds(pad, W)].astype(F32) - tgt).sum(0) / 3.0
     )
 
-    def pass3(n, carry):
-        rgb_acc, M, Ma = carry
-        pi_n = jnp.exp(l_scr[n] - lse)
-        s_n = s_scr[n]
-        rows_c = []
-        for r in range(R):
-            m = mask_ref[r, n]
-            rows_c.append(sample_rgb(r, n) * m)           # (3, W)
-        c_n = jnp.stack(rows_c, axis=1)                   # (3, R, W)
-        wgt = (pi_n / s_n) * inv_u
-        rgb_acc = rgb_acc + wgt[None] * c_n
-        e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
-        M = M + pi_n * 0.5 * jnp.exp(-e_n / s_n) / s_n
-        Ma = Ma + pi_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
-        return rgb_acc, M, Ma
+    def pass3(sampler):
+        def body(n, carry):
+            rgb_acc, M, Ma = carry
+            pi_n = jnp.exp(l_scr[n] - lse)
+            s_n = s_scr[n]
+            c_n = sampler(n)                              # (3, R, W)
+            wgt = (pi_n / s_n) * inv_u
+            rgb_acc = rgb_acc + wgt[None] * c_n
+            e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
+            M = M + pi_n * 0.5 * jnp.exp(-e_n / s_n) / s_n
+            Ma = Ma + pi_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
+            return rgb_acc, M, Ma
+        return body
 
-    rgb_acc, M, Ma = jax.lax.fori_loop(
-        0, N, pass3,
-        (jnp.zeros((3, R, W), F32), jnp.zeros((R, W), F32),
-         jnp.zeros((R, W), F32)),
-    )
+    carry = (jnp.zeros((3, R, W), F32), jnp.zeros((R, W), F32),
+             jnp.zeros((R, W), F32))
+    carry = jax.lax.fori_loop(0, NV, pass3(sample_c_vec), carry)
+    rgb_acc, M, Ma = jax.lax.fori_loop(NV, N, pass3(sample_c_rows), carry)
 
     rgb_ref[...] = rgb_acc.astype(rgb_ref.dtype)
     nll_ref[...] = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
     nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
 
 
+def _bwd_kernel(
+    shift_ref,   # (R, N) SMEM
+    mask_ref,    # (R, N) SMEM
+    src_ref,     # (3, R, Wp) VMEM padded source rows
+    tgt_ref,     # (3, R, W)
+    log_ref,     # (N, R, Wp) padded
+    sig_ref,     # (N, R, Wp) padded
+    grgb_ref,    # (3, R, W) cotangent of rgb_rec
+    gnll_ref,    # (R, W)
+    gnla_ref,    # (R, W)
+    dsrc_ref,    # (3, R, W) out
+    dtgt_ref,    # (3, R, W) out
+    dlog_ref,    # (N, R, W) out
+    dsig_ref,    # (N, R, W) out
+    dshift_ref,  # (N, R, 128) out — scalar per (n, r) broadcast across
+                 # lanes (lane-dim dynamic scalar stores are not
+                 # expressible; column 0 is read back outside)
+    l_scr,       # (N, R, W) f32
+    s_scr,       # (N, R, W) f32
+    g_scr,       # (3, R, WG) f32 padded per-plane dci rows (reused)
+    *,
+    n_planes: int,
+    n_vertical: int,
+    rows: int,
+    width: int,
+    pad: int,
+):
+    """Adjoint of _fwd_kernel, same slicing structure, scatter-free.
+
+    Math (see _sweep_bwd): with u = pi/sigma, U = sum u, wgt = u*inv(U):
+      S = sum_j dpi_j pi_j collapses to inv_u*A + dM*M + dU*U where
+      A = sum_n dwgt_n u_n — so two plane passes after the forward
+      recomputation suffice (couplings, then emission).
+    """
+    N, R, W = n_planes, rows, width
+    NV = n_vertical
+    WQ = W + 128
+    WG = W + 2 * pad + 128
+
+    helpers = _make_samplers(
+        shift_ref, mask_ref, src_ref, log_ref, sig_ref, R, W, pad
+    )
+    sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec = helpers
+
+    def taps(r, n):
+        s = shift_ref[r, n]
+        k = jnp.floor(s)
+        return pad + k.astype(jnp.int32), (s - k).astype(F32)
+
+    def roll_amt(start):
+        q = pl.multiple_of((start // 128) * 128, 128)
+        return q, (WQ - (start - q)) % WQ
+
+    def window(ref, pre, r, start):
+        q, amt = roll_amt(start)
+        if pre is None:
+            win = ref[:, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
+            return pltpu.roll(win, amt, axis=2)[:, :, :W]
+        win = ref[pre, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
+        return pltpu.roll(win, amt, axis=1)[:, :W]
+
+    def window_vec(ref, pre, start):
+        q, amt = roll_amt(start)
+        if pre is None:
+            win = ref[:, :, pl.ds(q, WQ)].astype(F32)
+            return pltpu.roll(win, amt, axis=2)[:, :, :W]
+        win = ref[pre, :, pl.ds(q, WQ)].astype(F32)
+        return pltpu.roll(win, amt, axis=1)[:, :W]
+
+    def g_window(r, start):
+        q, amt = roll_amt(start)
+        win = g_scr[:, pl.ds(r, 1), pl.ds(q, WQ)]
+        return pltpu.roll(win, amt, axis=2)[:, :, :W]
+
+    def g_window_vec(start):
+        q, amt = roll_amt(start)
+        win = g_scr[:, :, pl.ds(q, WQ)]
+        return pltpu.roll(win, amt, axis=2)[:, :, :W]
+
+    # ---- forward recomputation: scratches + lse ----------------------------
+    def pass1(sampler):
+        def body(n, carry):
+            m_run, s_run = carry
+            l_n, s_n = sampler(n)
+            l_scr[n] = l_n
+            s_scr[n] = s_n
+            m_new = jnp.maximum(m_run, l_n)
+            return m_new, s_run * jnp.exp(m_run - m_new) + jnp.exp(
+                l_n - m_new
+            )
+        return body
+
+    carry = (jnp.full((R, W), -1e30, F32), jnp.zeros((R, W), F32))
+    carry = jax.lax.fori_loop(0, NV, pass1(sample_ls_vec), carry)
+    m_run, s_run = jax.lax.fori_loop(NV, N, pass1(sample_ls_rows), carry)
+    lse = m_run + jnp.log(s_run)
+
+    tgt = tgt_ref[...].astype(F32)
+    src0 = src_ref[:, :, pl.ds(pad, W)].astype(F32)
+    e_auto = jnp.abs(src0 - tgt).sum(0) / 3.0
+    G = grgb_ref[...].astype(F32)
+    gN = gnll_ref[...].astype(F32)
+    gA_ = gnla_ref[...].astype(F32)
+
+    # ---- couplings: U, A, M, Ma, dEa ---------------------------------------
+    def pass2(sampler):
+        def body(n, carry):
+            U, A, M, Ma, dEa = carry
+            pi_n = jnp.exp(l_scr[n] - lse)
+            s_n = s_scr[n]
+            u_n = pi_n / s_n
+            c_n = sampler(n)
+            e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
+            lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
+            lapa_n = 0.5 * jnp.exp(-e_auto / s_n) / s_n
+            U = U + u_n
+            A = A + (G * c_n).sum(0) * u_n
+            M = M + pi_n * lap_n
+            Ma = Ma + pi_n * lapa_n
+            dEa = dEa + pi_n * lapa_n * (-1.0 / s_n)
+            return U, A, M, Ma, dEa
+        return body
+
+    carry = tuple(jnp.zeros((R, W), F32) for _ in range(5))
+    carry = jax.lax.fori_loop(0, NV, pass2(sample_c_vec), carry)
+    U, A, M, Ma, dEa = jax.lax.fori_loop(NV, N, pass2(sample_c_rows), carry)
+    inv_u = jnp.where(U > 1e-7, 1.0 / jnp.maximum(U, 1e-7), 0.0)
+    dM = -gN * (M > 0) / (jnp.maximum(M, 0.0) + 1e-7)
+    dMa = -gA_ * (Ma > 0) / (jnp.maximum(Ma, 0.0) + 1e-7)
+    dEa = dEa * dMa
+    dU = -(inv_u**2) * A * (U > 1e-7)
+    S = inv_u * A + dM * M + dU * U
+
+    # ---- emission ----------------------------------------------------------
+    dsrc_acc0 = jnp.sign(src0 - tgt) * (dEa / 3.0)[None]
+    dsrc_ref[...] = dsrc_acc0
+    dtgt_ref[...] = -dsrc_acc0
+    # pad regions stay zero: both stagings below only write [pad, pad+W)
+    g_scr[...] = jnp.zeros((3, R, WG), F32)
+
+    def plane_grads(n, c_n):
+        """Shared per-plane adjoint algebra -> (dl, ds_gated, dc)."""
+        pi_n = jnp.exp(l_scr[n] - lse)
+        s_n = s_scr[n]
+        e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
+        lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
+        u_n = pi_n / s_n
+        wgt_n = u_n * inv_u
+        dwgt_n = (G * c_n).sum(0)
+        du_n = dwgt_n * inv_u + dU
+        dpi_n = du_n / s_n + dM * lap_n
+        dl_n = pi_n * (dpi_n - S)
+        dlap_n = dM * pi_n
+        de_n = dlap_n * lap_n * (-1.0 / s_n)
+        ds_n = (
+            -du_n * pi_n / (s_n * s_n)
+            + dlap_n * lap_n * (e_n - s_n) / (s_n * s_n)
+        )
+        ds_gate = ds_n * ((s_n > 0.01) & (s_n < 1.0))
+        sgn = jnp.sign(c_n - tgt)
+        dc_n = G * wgt_n[None] + sgn * (de_n / 3.0)[None]
+        dtgt_ref[...] += -sgn * (de_n / 3.0)[None]
+        return dl_n, ds_gate, dc_n
+
+    def pass3_vec(n, _):
+        c_n = sample_c_vec(n)
+        dl_n, ds_g, dc_n = plane_grads(n, c_n)
+        p, f = taps(0, n)
+        m = mask_ref[0, n]
+        rev = 2 * pad - p
+
+        # d_src: reverse-window the masked dci block
+        g_scr[:, :, pl.ds(pad, W)] = dc_n * m
+        back = (1.0 - f) * g_window_vec(rev) + f * g_window_vec(rev - 1)
+        dsrc_ref[...] += back
+
+        # d shift per row (one vectorized diff per stream)
+        a_d = window_vec(log_ref, n, p + 1) - window_vec(log_ref, n, p)
+        b_d = window_vec(sig_ref, n, p + 1) - window_vec(sig_ref, n, p)
+        c_d = window_vec(src_ref, None, p + 1) - window_vec(src_ref, None, p)
+        val = (
+            jnp.sum(dl_n * m * a_d, axis=1, keepdims=True)
+            + jnp.sum(ds_g * m * b_d, axis=1, keepdims=True)
+            + jnp.sum((dc_n * m) * c_d, axis=(0, 2))[:, None]
+        )                                                   # (R, 1)
+        dshift_ref[n] = jnp.broadcast_to(val, (R, 128))
+
+        # d logits / d sigma via the same reverse window
+        g_scr[0, :, pl.ds(pad, W)] = dl_n * m
+        g_scr[1, :, pl.ds(pad, W)] = ds_g * m
+        back2 = (1.0 - f) * g_window_vec(rev) + f * g_window_vec(rev - 1)
+        dlog_ref[n] = back2[0]
+        dsig_ref[n] = back2[1]
+        return 0
+
+    def pass3_rows(n, _):
+        c_n = sample_c_rows(n)
+        dl_n, ds_g, dc_n = plane_grads(n, c_n)
+
+        for r in range(R):
+            m = mask_ref[r, n]
+            g_scr[:, pl.ds(r, 1), pl.ds(pad, W)] = dc_n[:, r : r + 1] * m
+        dsrc_rows = []
+        dshift_cols = []
+        for r in range(R):
+            p, f = taps(r, n)
+            m = mask_ref[r, n]
+            rev = 2 * pad - p
+            back = (1.0 - f) * g_window(r, rev) + f * g_window(r, rev - 1)
+            dsrc_rows.append(back)
+            a_d = window(log_ref, n, r, p + 1) - window(log_ref, n, r, p)
+            b_d = window(sig_ref, n, r, p + 1) - window(sig_ref, n, r, p)
+            c_d = window(src_ref, None, r, p + 1) - window(src_ref, None, r, p)
+            val = (
+                jnp.sum(dl_n[r : r + 1] * m * a_d)
+                + jnp.sum(ds_g[r : r + 1] * m * b_d)
+                + jnp.sum((dc_n[:, r : r + 1] * m) * c_d)
+            )
+            dshift_cols.append(val)
+        dsrc_ref[...] += jnp.concatenate(dsrc_rows, axis=1)
+
+        for r in range(R):
+            m = mask_ref[r, n]
+            g_scr[0, pl.ds(r, 1), pl.ds(pad, W)] = dl_n[r : r + 1] * m
+            g_scr[1, pl.ds(r, 1), pl.ds(pad, W)] = ds_g[r : r + 1] * m
+        for r in range(R):
+            p, f = taps(r, n)
+            rev = 2 * pad - p
+            back = (1.0 - f) * g_window(r, rev) + f * g_window(r, rev - 1)
+            dlog_ref[n, pl.ds(r, 1)] = back[0]
+            dsig_ref[n, pl.ds(r, 1)] = back[1]
+        for r in range(R):
+            dshift_ref[n, pl.ds(r, 1)] = jnp.full((1, 128), dshift_cols[r],
+                                                  F32)
+        return 0
+
+    jax.lax.fori_loop(0, NV, pass3_vec, 0)
+    jax.lax.fori_loop(NV, N, pass3_rows, 0)
+
+
 def _pad_w(x, pad):
-    """Zero-pad the trailing W axis on both sides."""
-    cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+    """Zero-pad the trailing W axis: ``pad`` left, ``pad + 128`` right
+    (the extra 128 is window slack for the dynamic lane roll)."""
+    cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad + 128)]
     return jnp.pad(x, cfg)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pad", "rows", "interpret")
+    jax.jit, static_argnames=("pad", "rows", "interpret", "n_vertical")
 )
 def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
-                  pad: int, rows: int = 8, interpret: bool = False):
+                  pad: int, rows: int = 8, interpret: bool = False,
+                  n_vertical: int = 0):
     """Run the fused forward kernel.
 
     Args:
@@ -161,17 +480,21 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     N = logits_t.shape[1]
     R = rows
     assert H % R == 0, (H, R)
-    Wp = W + 2 * pad
+    # pad to a multiple of 128 so static slices stay lane-aligned, +128
+    # window slack for the dynamic lane roll (see _fwd_kernel.window)
+    pad = ((pad + 127) // 128) * 128
+    Wp = W + 2 * pad + 128
     # backstop: keep the dynamic slice start within the padded buffer
     # (shifts this large sample fully out of frame anyway)
-    shift = jnp.clip(shift, -(pad - 1.0), pad - 1.0)
+    shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
     src_p = _pad_w(src_t, pad)
     log_p = _pad_w(logits_t, pad)
     sig_p = _pad_w(sigma_t, pad)
 
     kernel = functools.partial(
-        _fwd_kernel, n_planes=N, rows=R, width=W, pad=pad
+        _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
+        pad=pad,
     )
 
     rgb, nll, nlla = pl.pallas_call(
@@ -208,9 +531,100 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
             pltpu.VMEM((N, R, W), F32),
             pltpu.VMEM((N, R, W), F32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # full-plane blocks + double buffering exceed the default 16M
+            # scoped budget; v5e has 128M physical VMEM per core
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(shift, mask, src_p, target_t, log_p, sig_p)
     return rgb, nll, nlla
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pad", "rows", "interpret", "n_vertical")
+)
+def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
+                   g_rgb, g_nll, g_nla,
+                   pad: int, rows: int = 8, interpret: bool = False,
+                   n_vertical: int = 0):
+    """Pallas backward kernel invocation (adjoint of sweep_forward)."""
+    B, _, H, W = src_t.shape
+    N = logits_t.shape[1]
+    R = rows
+    pad = ((pad + 127) // 128) * 128
+    Wp = W + 2 * pad + 128
+    WG = W + 2 * pad + 128
+    shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
+
+    src_p = _pad_w(src_t, pad)
+    log_p = _pad_w(logits_t, pad)
+    sig_p = _pad_w(sigma_t, pad)
+
+    kernel = functools.partial(
+        _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
+        pad=pad,
+    )
+
+    def vspec(shape_prefix, Wd):
+        n = len(shape_prefix)
+        return pl.BlockSpec(
+            (None,) + shape_prefix + (Wd,),
+            (lambda b, h: (b,) + (0,) * (n - 1) + (h, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    smem_spec = pl.BlockSpec((None, R, N), lambda b, h: (b, h, 0),
+                             memory_space=pltpu.SMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, H // R),
+        in_specs=[
+            smem_spec, smem_spec,
+            vspec((3, R), Wp), vspec((3, R), W),
+            vspec((N, R), Wp), vspec((N, R), Wp),
+            vspec((3, R), W),
+            pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            vspec((3, R), W),            # d_src
+            vspec((3, R), W),            # d_tgt
+            vspec((N, R), W),            # d_log
+            vspec((N, R), W),            # d_sig
+            vspec((N, R), 128),          # d_shift (broadcast lanes)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 3, H, W), F32),
+            jax.ShapeDtypeStruct((B, 3, H, W), F32),
+            jax.ShapeDtypeStruct((B, N, H, W), F32),
+            jax.ShapeDtypeStruct((B, N, H, W), F32),
+            jax.ShapeDtypeStruct((B, N, H, 128), F32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((N, R, W), F32),
+            pltpu.VMEM((N, R, W), F32),
+            pltpu.VMEM((3, R, WG), F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(shift, mask, src_p, target_t, log_p, sig_p, g_rgb, g_nll, g_nla)
+
+    d_src, d_tgt, d_log, d_sig, d_shift_b = outs
+    d_shift = jnp.moveaxis(d_shift_b[..., 0], 1, -1)       # (B, H, N)
+    return (
+        d_src.astype(src_t.dtype),
+        d_tgt.astype(target_t.dtype),
+        d_log.astype(logits_t.dtype),
+        d_sig.astype(sigma_t.dtype),
+        d_shift.astype(shift.dtype),
+        jnp.zeros_like(mask),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -489,27 +903,35 @@ def _shift_gather_int(maps, k, W):
     return jnp.where(valid[:, None], g, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
-                      pad: int, interpret: bool = False):
+                      pad: int, interpret: bool = False,
+                      n_vertical: int = 0):
     """Fused plane-sweep: Pallas forward + hand-derived scatter-free VJP.
 
     The automask NLL treats pi/sigma as constants by definition (reference
     trainer.py:733) — the adjoint honors that.
     """
     return sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
-                         pad=pad, interpret=interpret)
+                         pad=pad, interpret=interpret,
+                         n_vertical=n_vertical)
 
 
 def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
-             interpret):
+             interpret, n_vertical):
     out = sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
-                        pad=pad, interpret=interpret)
+                        pad=pad, interpret=interpret, n_vertical=n_vertical)
     return out, (src_t, target_t, logits_t, sigma_t, shift, mask)
 
 
-def _fps_bwd(pad, interpret, res, cts):
-    return _sweep_bwd(*res, cts)
+def _fps_bwd(pad, interpret, n_vertical, res, cts):
+    src_t, target_t, logits_t, sigma_t, shift, mask = res
+    g_rgb, g_nll, g_nla = [x.astype(F32) for x in cts]
+    return sweep_backward(
+        src_t, target_t, logits_t, sigma_t, shift, mask,
+        g_rgb, g_nll, g_nla, pad=pad, interpret=interpret,
+        n_vertical=n_vertical,
+    )
 
 
 fused_plane_sweep.defvjp(_fps_fwd, _fps_bwd)

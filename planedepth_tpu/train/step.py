@@ -305,16 +305,18 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     # are clipped to the pad as a backstop inside the wrapper
     pad = int(cfg.model.planes.disp_max * 1.08) + 4
 
-    src_t = jnp.moveaxis(source.astype(jnp.float32), -1, 1)
-    tgt_t = jnp.moveaxis(target.astype(jnp.float32), -1, 1)
-    logits_t = jnp.moveaxis(outputs["logits"], -1, 1)
-    sigma_t = jnp.moveaxis(outputs["sigma"], -1, 1)
+    in_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
+    src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
+    tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
+    logits_t = jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1)
+    sigma_t = jnp.moveaxis(outputs["sigma"].astype(in_dtype), -1, 1)
     shift = outputs["disp_rows"]                    # target 'r': x + disp
     mask_rows = outputs["padding_mask"][:, :, 0, :]
 
     interpret = jax.default_backend() != "tpu"   # CPU tests: interpret mode
     rgb_t, nll, nll_auto = fused_plane_sweep(
-        src_t, tgt_t, logits_t, sigma_t, shift, mask_rows, pad, interpret
+        src_t, tgt_t, logits_t, sigma_t, shift, mask_rows, pad, interpret,
+        cfg.model.planes.disp_levels,    # vertical planes: row-vectorized
     )
     rgb_rec = jnp.moveaxis(rgb_t, 1, -1)
 

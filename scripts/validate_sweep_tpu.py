@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Validate the fused Pallas plane-sweep ON REAL TPU vs the dense oracle.
+
+Runs forward + custom-VJP gradients at a KITTI-like small shape and prints
+max abs/rel deviations, then times forward and grad at the full stage-1
+shape.  Usage: python scripts/validate_sweep_tpu.py [check|time]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from planedepth_tpu.ops.pallas_sweep import (
+    fused_plane_sweep, oracle_dense, sweep_forward,
+)
+
+
+def make(B, H, W, N, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)).astype(dtype),
+        jnp.asarray(rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)).astype(dtype),
+        jnp.asarray(rng.standard_normal((B, N, H, W)).astype(np.float32)).astype(dtype),
+        jnp.asarray(rng.uniform(0.05, 0.95, (B, N, H, W)).astype(np.float32)).astype(dtype),
+        jnp.asarray(rng.uniform(0.0, 40.0, (B, H, N)).astype(np.float32)),
+        jnp.asarray((rng.uniform(0, 1, (B, H, N)) > 0.2).astype(np.float32)),
+    )
+
+
+def check():
+    B, H, W, N = 2, 64, 640, 63
+    args = make(B, H, W, N)
+    pad = 64
+    out_k = sweep_forward(*args, pad=pad)
+    out_o = oracle_dense(*args)
+    for name, a, b in zip(("rgb", "nll", "nll_auto"), out_k, out_o):
+        a, b = np.asarray(a), np.asarray(b)
+        print(f"fwd {name}: maxabs={np.abs(a-b).max():.3e}")
+
+    g = [jnp.ones_like(o) for o in out_o]
+
+    def scal(fn):
+        def w(*a5):
+            o = fn(*a5, args[5])
+            return sum(jnp.sum(x * y) for x, y in zip(o, g))
+        return w
+
+    gf = jax.grad(scal(lambda *a: fused_plane_sweep(*a, pad, False)),
+                  argnums=(0, 1, 2, 3, 4))(*args[:5])
+    go = jax.grad(scal(oracle_dense), argnums=(0, 1, 2, 3, 4))(*args[:5])
+    for name, a, b in zip(("src", "tgt", "log", "sig", "shift"), gf, go):
+        a, b = np.asarray(a), np.asarray(b)
+        print(f"grad {name}: maxabs={np.abs(a-b).max():.3e} "
+              f"ref|max|={np.abs(b).max():.3e}")
+
+
+def timeit_shapes():
+    B, H, W, N = 8, 384, 1280, 63
+    args = make(B, H, W, N, dtype=jnp.bfloat16)
+    pad = 328
+
+    fwd = jax.jit(lambda *a: sweep_forward(*a, pad=pad))
+    out = fwd(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out = fwd(*args)
+    jax.block_until_ready(out)
+    print(f"fwd kernel: {(time.perf_counter()-t0)/10*1e3:.2f} ms "
+          f"(B{B} {H}x{W} N{N})")
+
+    def loss(*a5):
+        o = fused_plane_sweep(*a5, args[5], pad, False)
+        return sum(jnp.sum(x) for x in o)
+
+    gr = jax.jit(jax.grad(loss, argnums=(0, 2, 3, 4)))
+    gs = gr(*args[:5])
+    jax.block_until_ready(gs)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        gs = gr(*args[:5])
+    jax.block_until_ready(gs)
+    print(f"fwd+bwd: {(time.perf_counter()-t0)/5*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if mode == "check":
+        check()
+    else:
+        timeit_shapes()

@@ -40,6 +40,40 @@ def test_kernel_forward_matches_oracle():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_vectorized_vertical_path_matches():
+    """n_vertical > 0 (row-vectorized planes) must equal the generic path
+    when the first planes' shifts are row-constant."""
+    src, tgt, logits, sigma, shift, mask = _inputs()
+    nv = 3
+    shift = shift.at[:, :, :nv].set(
+        jnp.broadcast_to(shift[:, :1, :nv], shift[:, :, :nv].shape)
+    )
+    mask = mask.at[:, :, :nv].set(1.0)
+    a = sweep_forward(src, tgt, logits, sigma, shift, mask, pad=PAD,
+                      rows=4, interpret=True, n_vertical=nv)
+    b = sweep_forward(src, tgt, logits, sigma, shift, mask, pad=PAD,
+                      rows=4, interpret=True, n_vertical=0)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-6)
+
+    g = tuple(jnp.ones_like(o) for o in a)
+
+    def scalarize(nv_):
+        def wrapped(*a5):
+            o = fused_plane_sweep(*a5, mask, PAD, True, nv_)
+            return sum(jnp.sum(x * y) for x, y in zip(o, g))
+        return wrapped
+
+    ga = jax.grad(scalarize(nv), argnums=(0, 2, 3, 4))(src, tgt, logits,
+                                                       sigma, shift)
+    gb = jax.grad(scalarize(0), argnums=(0, 2, 3, 4))(src, tgt, logits,
+                                                      sigma, shift)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_custom_vjp_matches_autodiff():
     args = _inputs()
     g_rgb = jnp.asarray(RNG.standard_normal((B, 3, H, W)).astype(np.float32))
