@@ -87,8 +87,12 @@ def main():
         }))
         return
 
+    # ladder calibrated on v5e (15.75G HBM): the HR stage-1 step fits at
+    # per-step batch 1 (effective 2 after flip_right); larger batches OOM
+    # (the bf16 plane stacks + conv residuals; see ops/pallas_sweep.py for
+    # the memory-bound escape hatch)
     last_err = None
-    for per_step_batch in (4, 2, 1):
+    for per_step_batch in (1,):
         try:
             imgs_per_sec, loss = run_bench(per_step_batch)
             print(json.dumps({

@@ -124,9 +124,16 @@ def shift_sample_x(
       ``(B, N, H, W, C)``.
     """
     B, H, W, C = image.shape
-    compute_dtype = jnp.promote_types(image.dtype, jnp.float32)
-    xs = jnp.arange(W, dtype=compute_dtype)[None, None, None, :] + shift.astype(
-        compute_dtype
+    # index math in f32; VALUE math in the image's own dtype — a bf16 image
+    # keeps the whole gathered stack bf16 (the f32 upcast would double the
+    # dominant activation at HR and, saved for backward, overflow HBM)
+    compute_dtype = (
+        image.dtype
+        if image.dtype == jnp.bfloat16
+        else jnp.promote_types(image.dtype, jnp.float32)
+    )
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, None, :] + shift.astype(
+        jnp.float32
     )
     x0 = jnp.floor(xs)
     w1 = xs - x0
@@ -144,7 +151,7 @@ def shift_sample_x(
             ix[..., None],                                  # (B, N, H, W, 1)
             axis=3,
         )
-        return vals * wgt[..., None]
+        return vals * wgt.astype(compute_dtype)[..., None]
 
     out = take(x0, w0) + take(x0 + 1.0, w1)
     return out.astype(image.dtype)

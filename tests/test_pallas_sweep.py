@@ -104,6 +104,30 @@ def test_custom_vjp_matches_autodiff():
         )
 
 
+def test_manual_xla_adjoint_matches_autodiff():
+    """The scan-based XLA adjoint (_sweep_bwd, the kernel's reference
+    derivation) == autodiff of the dense oracle."""
+    from planedepth_tpu.ops.pallas_sweep import _sweep_bwd
+
+    args = _inputs()
+    cts = (
+        jnp.asarray(RNG.standard_normal((B, 3, H, W)).astype(np.float32)),
+        jnp.asarray(RNG.standard_normal((B, H, W)).astype(np.float32)),
+        jnp.asarray(RNG.standard_normal((B, H, W)).astype(np.float32)),
+    )
+    grads_m = _sweep_bwd(*args, cts)
+
+    def scal(src, tgt, logits, sigma, shift):
+        o = oracle_dense(src, tgt, logits, sigma, shift, args[5])
+        return sum(jnp.sum(x * y) for x, y in zip(o, cts))
+
+    grads_o = jax.grad(scal, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    for gm, go in zip(grads_m[:5], grads_o):
+        np.testing.assert_allclose(
+            np.asarray(gm), np.asarray(go), rtol=2e-3, atol=2e-4
+        )
+
+
 def test_oracle_matches_view_synthesis_composition():
     """The fused op's math == pred_novel_images + multimodal_nll."""
     from planedepth_tpu.ops.losses import multimodal_nll
