@@ -132,6 +132,10 @@ class TrainConfig:
     # parallelism
     mesh_shape: Tuple[int, ...] = ()   # () => use all devices on 1-D 'data' axis
     bf16: bool = True                  # bfloat16 activations on TPU
+    # sample the warped plane stacks in bfloat16 (halves their HBM
+    # footprint; measured SLOWER on v5e — sub-word gather/scatter cost —
+    # so off by default; enable when memory-bound)
+    warp_sample_bf16: bool = False
     # rematerialize the view-synthesis + loss segment in the backward pass:
     # the (B, N, H, W, C) plane stacks are never stored between fwd and bwd,
     # trading ~0.2 ms of recompute for the dominant activation footprint

@@ -251,7 +251,7 @@ def process_batch(
             use_mixture_loss=cfg.model.use_mixture_loss,
             render_probability=cfg.model.render_probability,
             rowshift=cfg.rowshift_warp,
-            sample_dtype=jnp.bfloat16 if cfg.bf16 else None,
+            sample_dtype=jnp.bfloat16 if cfg.warp_sample_bf16 else None,
         )
         if cfg.loss.use_mom and cfg.flip_right:
             outputs = dict(outputs)
