@@ -38,7 +38,7 @@ def run_bench(per_step_batch: int, remat: bool = False):
     cfg = TrainConfig(
         batch_size=2 * per_step_batch,
         flip_right=True,
-        model=ModelConfig(net_type="ResNet", num_layers=50),
+        model=ModelConfig(net_type="ResNet", num_layers=50, remat=remat),
         loss=LossConfig(alpha_pc=0.0),   # perceptual net needs ImageNet
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),

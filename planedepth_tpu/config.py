@@ -48,6 +48,9 @@ class ModelConfig:
     use_mixture_loss: bool = True
     plane_residual: bool = True
     render_probability: bool = False
+    # rematerialize encoder residual blocks in the backward pass (trade
+    # ~30% backward FLOPs for the conv activation footprint at HR)
+    remat: bool = False
     planes: PlaneConfig = field(default_factory=PlaneConfig)
     # Pose network (only built when novel_frame_ids non-empty and not colmap,
     # reference trainer.py:92-94)

@@ -125,16 +125,24 @@ class Bottleneck(nn.Module):
 
 
 class ResNetTrunk(nn.Module):
-    """conv1 .. layer4 trunk shared by the depth and pose encoders."""
+    """conv1 .. layer4 trunk shared by the depth and pose encoders.
+
+    ``remat`` rematerializes every residual block in the backward pass —
+    the conv activations are the second-largest HBM consumer at HR and
+    recomputing them buys batch size for ~30% extra backward FLOPs.
+    """
 
     num_layers: int = 50
     num_input_images: int = 1
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Sequence[jnp.ndarray]:
         block_kind, blocks = RESNET_SPECS[self.num_layers]
         Block = BasicBlock if block_kind == "basic" else Bottleneck
+        if self.remat:
+            Block = nn.remat(Block, static_argnums=(2,))
         expansion = 1 if block_kind == "basic" else 4
 
         features = []
@@ -172,6 +180,7 @@ class ResnetEncoder(nn.Module):
     """Depth encoder (reference networks/resnet_encoder.py:18-55)."""
 
     num_layers: int = 50
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @property
@@ -182,7 +191,8 @@ class ResnetEncoder(nn.Module):
     def __call__(self, image, train: bool = True):
         x = (image.astype(self.dtype) - 0.45) / 0.225
         return ResNetTrunk(
-            self.num_layers, dtype=self.dtype, name="encoder"
+            self.num_layers, remat=self.remat, dtype=self.dtype,
+            name="encoder",
         )(x, train)
 
 
