@@ -129,6 +129,18 @@ class TrainConfig:
     # checkpoint / logging
     load_weights_folder: Optional[str] = None
     models_to_load: Tuple[str, ...] = ("encoder", "depth")
+    # restore the Adam state saved with the checkpoint whenever it is
+    # structurally compatible (reference trainer.py:905-913 always restores
+    # adam.pth when present)
+    restore_optimizer: bool = True
+    # converted ImageNet weights (scripts/convert_torch_weights.py output):
+    # resnet{num_layers}.npz for the encoder(s), vgg19/resnet18.npz for the
+    # perceptual net (reference resnet_encoder.py:35, layers.py:381)
+    weights_dir: Optional[str] = None
+    # explicitly allow training with a RANDOM perceptual net when
+    # alpha_pc > 0 (tests/ablations only; the reference always uses
+    # ImageNet features)
+    allow_random_pc: bool = False
     log_frequency: int = 500
     log_img_frequency: int = 250
 
@@ -197,6 +209,40 @@ class TrainConfig:
     def replace(self, **kw) -> "TrainConfig":
         return dataclasses.replace(self, **kw)
 
+    @staticmethod
+    def from_dict(d: dict) -> "TrainConfig":
+        """Rebuild a TrainConfig from ``json.loads(cfg.to_json())`` (the
+        opt.json / checkpoint-meta provenance format)."""
+        return _dataclass_from_dict(TrainConfig, d)
+
+
+def _dataclass_from_dict(cls, d: dict):
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        ftype = _FIELD_DATACLASSES.get((cls.__name__, f.name))
+        if ftype is not None and isinstance(v, dict):
+            kw[f.name] = _dataclass_from_dict(ftype, v)
+        elif isinstance(v, list):
+            kw[f.name] = tuple(v)
+        elif v == "None":
+            kw[f.name] = None
+        else:
+            kw[f.name] = v
+    return cls(**kw)
+
+
+# nested-dataclass fields for from_dict reconstruction
+_FIELD_DATACLASSES = {
+    ("TrainConfig", "model"): ModelConfig,
+    ("TrainConfig", "loss"): LossConfig,
+    ("TrainConfig", "data"): DataConfig,
+    ("TrainConfig", "optim"): OptimConfig,
+    ("ModelConfig", "planes"): PlaneConfig,
+}
+
 
 # ---------------------------------------------------------------------------
 # Stage presets (reference README.md:36-90)
@@ -229,10 +275,14 @@ def hr_finetune_config(**overrides) -> TrainConfig:
 
 
 def self_distillation_config(**overrides) -> TrainConfig:
-    """Stage 3: self-distillation with frozen teacher, 10 epochs, lr 2e-5."""
+    """Stage 3: self-distillation with frozen teacher, 10 epochs, lr 2e-5.
+
+    NOTE: the reference's stage-3 command drops ``--flip_right``
+    (reference README.md:56-74) — the loaded batch is the full batch_size 4
+    with no flip doubling.
+    """
     cfg = TrainConfig(
         model_name="self_distillation",
-        flip_right=True,
         batch_size=4,
         loss=LossConfig(self_distillation=1.0),
         data=DataConfig(height=384, width=1280, split="eigen_full_left",

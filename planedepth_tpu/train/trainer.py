@@ -104,6 +104,20 @@ class Trainer:
         params, batch_stats, pc_params = self.bundle.init(
             jax.random.PRNGKey(cfg.seed), cfg.data.height, cfg.data.width
         )
+        # ImageNet-pretrained encoder / frozen perceptual weights
+        # (reference resnet_encoder.py:35, layers.py:381): converted npz
+        # trees merged into the fresh init
+        from planedepth_tpu.utils.pretrained import (
+            apply_pretrained, check_perceptual_weights,
+        )
+
+        params, batch_stats, pc_params, loaded = apply_pretrained(
+            cfg, params, batch_stats, pc_params
+        )
+        check_perceptual_weights(cfg, loaded)
+        if loaded:
+            print(f"[pretrained] loaded: {', '.join(loaded)}")
+
         self.tx = make_optimizer(cfg, self.steps_per_epoch)
         self.state = create_train_state(
             params, batch_stats, self.tx, pc_params=pc_params
@@ -112,7 +126,8 @@ class Trainer:
         if cfg.load_weights_folder is not None:
             payload = load_checkpoint(cfg.load_weights_folder)
             self.state = restore_submodules(
-                self.state, payload, cfg.models_to_load
+                self.state, payload, cfg.models_to_load,
+                restore_optimizer=cfg.restore_optimizer,
             )
 
         if cfg.loss.self_distillation > 0:
@@ -235,13 +250,27 @@ class Trainer:
         self.val(epoch)
 
     def val(self, epoch: int) -> Dict[str, float]:
+        """Validation loop (reference trainer.py:468-521).
+
+        Cross-host aggregation: under multi-process, ``shard_batch``
+        assembles each step's GLOBAL batch from the per-host slices and the
+        jitted ``eval_step`` reduces over it, so every process sees
+        identical global metrics per step (the reference's explicit
+        ``dist.all_reduce``, trainer.py:504-508).  The host-side weighted
+        accumulation below then yields the same global mean on every host
+        (weights are uniformly scaled by process_count).
+        """
         total: Dict[str, float] = {}
         n = 0
-        for batch in self.val_loader.epoch(0):
+        for batch_idx, batch in enumerate(self.val_loader.epoch(0)):
             if "depth_gt_l" not in batch:
                 continue
             device_batch = shard_batch(batch, self.mesh)
             metrics = self.eval_step(self.state, device_batch)
+            # val image panels every log_img_frequency batches
+            # (reference trainer.py:499-500)
+            if batch_idx % self.cfg.log_img_frequency == 0 and self.is_chief:
+                self.log_images("val", batch, step=self.step_count + batch_idx)
             b = batch["color_l"].shape[0]
             n += b
             for k, v in metrics.items():
@@ -258,7 +287,8 @@ class Trainer:
             self.logger.metric_row(metrics)
         return metrics
 
-    def log_images(self, mode: str, batch: Dict[str, np.ndarray]):
+    def log_images(self, mode: str, batch: Dict[str, np.ndarray],
+                   step: Optional[int] = None):
         """TB image panels: inputs, reconstruction, normalized disparity
         (reference trainer.py:831-856)."""
         from planedepth_tpu.utils.logging import normalize_image
@@ -275,7 +305,9 @@ class Trainer:
                 )
             disp = normalize_image(np.asarray(viz["disp"][j]))
             images[f"disp/{j}"] = np.repeat(disp, 3, axis=-1)
-        self.logger.images(mode, images, self.step_count)
+        self.logger.images(
+            mode, images, self.step_count if step is None else step
+        )
 
     def _save_provenance(self):
         """Run provenance: git commit + package version (replaces the

@@ -59,13 +59,36 @@ def save_checkpoint(
     }
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, payload)
+    # the reference embeds the train resolution in encoder.pth
+    # (trainer.py:879-882) so the evaluator can run at the right size; we
+    # additionally embed the full config for net reconstruction
     meta = {"height": height, "width": width}
+    if config_json is not None:
+        meta["config"] = json.loads(config_json)
     with open(os.path.join(path + ".meta.json"), "w") as f:
         json.dump(meta, f)
     if config_json is not None:
         with open(os.path.join(log_dir, "opt.json"), "w") as f:
             f.write(config_json)
     return path
+
+
+def load_checkpoint_meta(path: str) -> Optional[Dict[str, Any]]:
+    """Read ``<path>.meta.json`` (train resolution + config); falls back to
+    the run's ``opt.json`` one directory up for the config.  Returns None
+    when neither exists (e.g. foreign checkpoints)."""
+    path = os.path.abspath(path).rstrip("/")
+    meta: Dict[str, Any] = {}
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if "config" not in meta:
+        opt_path = os.path.join(os.path.dirname(path), "opt.json")
+        if os.path.exists(opt_path):
+            with open(opt_path) as f:
+                meta["config"] = json.load(f)
+    return meta or None
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
@@ -122,10 +145,32 @@ def restore_submodules(
 
     new_state = state.replace(params=params, batch_stats=stats)
     if restore_optimizer and "opt_state" in ckpt_payload:
-        new_state = new_state.replace(
-            opt_state=jax.tree_util.tree_map(
-                lambda tpl, saved: saved, state.opt_state,
-                ckpt_payload["opt_state"],
-            )
+        # the reference always restores adam.pth when present
+        # (trainer.py:905-913); only valid when the parameter tree is
+        # unchanged, so skip with a warning on mismatch (e.g. resuming
+        # into a different net_type).  Orbax restores namedtuple states
+        # (optax ScaleByAdamState etc.) as plain containers, so the match
+        # is leaf-wise against the template's treedef, not structural.
+        template_leaves, treedef = jax.tree_util.tree_flatten(
+            state.opt_state
         )
+        saved_leaves = jax.tree_util.tree_leaves(ckpt_payload["opt_state"])
+        shapes_ok = len(saved_leaves) == len(template_leaves) and all(
+            np.shape(s) == np.shape(t)
+            for s, t in zip(saved_leaves, template_leaves)
+        )
+        if shapes_ok:
+            new_state = new_state.replace(
+                opt_state=jax.tree_util.tree_unflatten(
+                    treedef,
+                    [
+                        np.asarray(s).astype(np.asarray(t).dtype)
+                        for s, t in zip(saved_leaves, template_leaves)
+                    ],
+                )
+            )
+        else:
+            print("[checkpoint] optimizer state incompatible "
+                  f"({len(saved_leaves)} vs {len(template_leaves)} leaves "
+                  "or shape mismatch), Adam re-initialized")
     return new_state

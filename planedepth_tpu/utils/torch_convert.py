@@ -118,6 +118,23 @@ def convert_vgg19_features(sd: Dict) -> Dict:
     return {"params": params}
 
 
+def save_converted(path: str, variables: Dict) -> int:
+    """Write a nested variables dict ({"params": ..., ...}) as a flat .npz
+    ('/'-joined keys); inverse of :func:`load_converted`."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def flatten(tree, prefix=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                flatten(v, prefix + k + "/")
+            else:
+                flat[prefix + k] = np.asarray(v)
+
+    flatten(variables)
+    np.savez(path, **flat)
+    return len(flat)
+
+
 def load_converted(path: str) -> Dict:
     """Load an .npz written by scripts/convert_torch_weights.py back into a
     nested variables dict ({"params": ..., "batch_stats": ...})."""

@@ -17,14 +17,13 @@ from __future__ import annotations
 import os
 import sys
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from planedepth_tpu.utils.torch_convert import (  # noqa: E402
     convert_resnet_encoder,
     convert_vgg19_features,
     load_torch_state_dict,
+    save_converted,
 )
 
 
@@ -42,18 +41,8 @@ def main():
         raise SystemExit(f"unknown kind {kind}")
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, f"{kind}.npz")
-    flat = {}
-
-    def flatten(tree, prefix=""):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                flatten(v, prefix + k + "/")
-            else:
-                flat[prefix + k] = np.asarray(v)
-
-    flatten(variables)
-    np.savez(out, **flat)
-    print(f"wrote {out} ({len(flat)} arrays)")
+    n = save_converted(out, variables)
+    print(f"wrote {out} ({n} arrays)")
 
 
 if __name__ == "__main__":
