@@ -10,14 +10,7 @@ from __future__ import annotations
 
 import argparse
 
-from planedepth_tpu.config import (
-    DataConfig,
-    LossConfig,
-    ModelConfig,
-    OptimConfig,
-    PlaneConfig,
-    TrainConfig,
-)
+from planedepth_tpu.config import TrainConfig
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -82,10 +75,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--no_bf16", action="store_true")
+    # performance (TPU memory/throughput trade-offs, see config.py)
+    p.add_argument("--fused_sweep", action="store_true",
+                   help="fused Pallas plane sweep for the stereo hot path")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder residual blocks")
+    p.add_argument("--remat_warp", action="store_true",
+                   help="rematerialize the view-synthesis + loss segment")
+    p.add_argument("--rowshift_warp", action="store_true",
+                   help="row-constant custom-VJP warp sampler")
+    p.add_argument("--warp_sample_bf16", action="store_true",
+                   help="sample warped plane stacks in bfloat16")
     # loading
     p.add_argument("--load_weights_folder", type=str, default=None)
     p.add_argument("--models_to_load", nargs="+", type=str,
                    default=["encoder", "depth"])
+    p.add_argument("--no_restore_optimizer", action="store_true",
+                   help="do NOT restore the Adam state from the checkpoint")
+    p.add_argument("--weights_dir", type=str, default=None,
+                   help="directory of converted ImageNet npz weights "
+                        "(scripts/convert_torch_weights.py)")
+    p.add_argument("--allow_random_pc", action="store_true",
+                   help="allow alpha_pc > 0 with a RANDOM perceptual net")
     # logging
     p.add_argument("--log_frequency", type=int, default=500)
     p.add_argument("--log_img_frequency", type=int, default=250)
@@ -101,68 +112,128 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def args_to_config(a: argparse.Namespace) -> TrainConfig:
-    return TrainConfig(
-        model_name=a.model_name,
-        log_dir=a.log_dir,
-        batch_size=a.batch_size,
-        seed=a.seed,
-        warp_type=a.warp_type,
-        novel_frame_ids=tuple(a.novel_frame_ids),
-        no_stereo=a.no_stereo,
-        flip_right=a.flip_right,
-        load_weights_folder=a.load_weights_folder,
-        models_to_load=tuple(a.models_to_load),
-        log_frequency=a.log_frequency,
-        log_img_frequency=a.log_img_frequency,
-        bf16=not a.no_bf16,
-        model=ModelConfig(
-            net_type=a.net_type,
-            num_layers=a.num_layers,
-            num_ep=a.num_ep,
-            pe_type=a.pe_type,
-            use_denseaspp=a.use_denseaspp,
-            use_mixture_loss=a.use_mixture_loss,
-            plane_residual=a.plane_residual,
-            render_probability=a.render_probability,
-            planes=PlaneConfig(
-                disp_levels=a.disp_levels,
-                disp_min=a.disp_min,
-                disp_max=a.disp_max,
-                xz_levels=a.xz_levels,
-                yz_levels=a.yz_levels,
-            ),
-        ),
-        loss=LossConfig(
-            alpha_smooth=a.alpha_smooth,
-            gamma_smooth=a.gamma_smooth,
-            alpha_pc=a.alpha_pc,
-            alpha_self=a.alpha_self,
-            self_distillation=a.self_distillation,
-            automask=a.automask,
-            use_ssim=a.use_ssim,
-            match_aug=a.match_aug,
-            pc_net=a.pc_net,
-            use_mom=a.use_mom,
-        ),
-        data=DataConfig(
-            data_path=a.data_path,
-            dataset=a.dataset,
-            split=a.split,
-            height=a.height,
-            width=a.width,
-            png=a.png,
-            no_crop=a.no_crop,
-            use_colmap=a.use_colmap,
-            colmap_path=a.colmap_path,
-            num_workers=a.num_workers,
-        ),
-        optim=OptimConfig(
-            learning_rate=a.learning_rate,
-            beta_1=a.beta_1,
-            beta_2=a.beta_2,
-            num_epochs=a.num_epochs,
-            milestones=tuple(a.milestones),
-            start_epoch=a.start_epoch,
-        ),
-    )
+# dest -> (config section, field, value transform); section None = TrainConfig
+_IDENT = lambda v: v  # noqa: E731
+_FLAG_MAP = {
+    "model_name": (None, "model_name", _IDENT),
+    "log_dir": (None, "log_dir", _IDENT),
+    "batch_size": (None, "batch_size", _IDENT),
+    "seed": (None, "seed", _IDENT),
+    "warp_type": (None, "warp_type", _IDENT),
+    "novel_frame_ids": (None, "novel_frame_ids", tuple),
+    "no_stereo": (None, "no_stereo", _IDENT),
+    "flip_right": (None, "flip_right", _IDENT),
+    "load_weights_folder": (None, "load_weights_folder", _IDENT),
+    "models_to_load": (None, "models_to_load", tuple),
+    "no_restore_optimizer": (None, "restore_optimizer", lambda v: not v),
+    "weights_dir": (None, "weights_dir", _IDENT),
+    "allow_random_pc": (None, "allow_random_pc", _IDENT),
+    "log_frequency": (None, "log_frequency", _IDENT),
+    "log_img_frequency": (None, "log_img_frequency", _IDENT),
+    "no_bf16": (None, "bf16", lambda v: not v),
+    "fused_sweep": (None, "fused_sweep", _IDENT),
+    "remat_warp": (None, "remat_warp", _IDENT),
+    "rowshift_warp": (None, "rowshift_warp", _IDENT),
+    "warp_sample_bf16": (None, "warp_sample_bf16", _IDENT),
+    "net_type": ("model", "net_type", _IDENT),
+    "num_layers": ("model", "num_layers", _IDENT),
+    "num_ep": ("model", "num_ep", _IDENT),
+    "pe_type": ("model", "pe_type", _IDENT),
+    "use_denseaspp": ("model", "use_denseaspp", _IDENT),
+    "use_mixture_loss": ("model", "use_mixture_loss", _IDENT),
+    "plane_residual": ("model", "plane_residual", _IDENT),
+    "render_probability": ("model", "render_probability", _IDENT),
+    "remat": ("model", "remat", _IDENT),
+    "disp_levels": ("planes", "disp_levels", _IDENT),
+    "disp_min": ("planes", "disp_min", _IDENT),
+    "disp_max": ("planes", "disp_max", _IDENT),
+    "xz_levels": ("planes", "xz_levels", _IDENT),
+    "yz_levels": ("planes", "yz_levels", _IDENT),
+    "alpha_smooth": ("loss", "alpha_smooth", _IDENT),
+    "gamma_smooth": ("loss", "gamma_smooth", _IDENT),
+    "alpha_pc": ("loss", "alpha_pc", _IDENT),
+    "alpha_self": ("loss", "alpha_self", _IDENT),
+    "self_distillation": ("loss", "self_distillation", _IDENT),
+    "automask": ("loss", "automask", _IDENT),
+    "use_ssim": ("loss", "use_ssim", _IDENT),
+    "match_aug": ("loss", "match_aug", _IDENT),
+    "pc_net": ("loss", "pc_net", _IDENT),
+    "use_mom": ("loss", "use_mom", _IDENT),
+    "data_path": ("data", "data_path", _IDENT),
+    "dataset": ("data", "dataset", _IDENT),
+    "split": ("data", "split", _IDENT),
+    "height": ("data", "height", _IDENT),
+    "width": ("data", "width", _IDENT),
+    "png": ("data", "png", _IDENT),
+    "no_crop": ("data", "no_crop", _IDENT),
+    "use_colmap": ("data", "use_colmap", _IDENT),
+    "colmap_path": ("data", "colmap_path", _IDENT),
+    "num_workers": ("data", "num_workers", _IDENT),
+    "learning_rate": ("optim", "learning_rate", _IDENT),
+    "beta_1": ("optim", "beta_1", _IDENT),
+    "beta_2": ("optim", "beta_2", _IDENT),
+    "num_epochs": ("optim", "num_epochs", _IDENT),
+    "milestones": ("optim", "milestones", tuple),
+    "start_epoch": ("optim", "start_epoch", _IDENT),
+}
+
+
+def parse_with_explicit(parser: argparse.ArgumentParser, argv):
+    """Parse argv twice: once normally, once with all defaults suppressed to
+    learn WHICH flags were explicitly passed (needed so ``--stage`` presets
+    can be overridden per-flag, reference README.md:36-90 stage recipes)."""
+    saved = [(a, a.default) for a in parser._actions]
+    for a in parser._actions:
+        a.default = argparse.SUPPRESS
+    try:
+        explicit = set(vars(parser.parse_args(argv)))
+    finally:
+        for a, d in saved:
+            a.default = d
+    return parser.parse_args(argv), explicit
+
+
+def _apply_overrides(cfg: TrainConfig, a: argparse.Namespace, dests):
+    """Apply the flags named in ``dests`` onto ``cfg``."""
+    import dataclasses as dc
+
+    sections = {"model": {}, "planes": {}, "loss": {}, "data": {},
+                "optim": {}, None: {}}
+    for dest in dests:
+        if dest not in _FLAG_MAP:
+            continue
+        section, field, tf = _FLAG_MAP[dest]
+        sections[section][field] = tf(getattr(a, dest))
+    if sections["planes"]:
+        sections["model"]["planes"] = dc.replace(
+            cfg.model.planes, **sections["planes"]
+        )
+    kw = dict(sections[None])
+    if sections["model"]:
+        kw["model"] = dc.replace(cfg.model, **sections["model"])
+    if sections["loss"]:
+        kw["loss"] = dc.replace(cfg.loss, **sections["loss"])
+    if sections["data"]:
+        kw["data"] = dc.replace(cfg.data, **sections["data"])
+    if sections["optim"]:
+        kw["optim"] = dc.replace(cfg.optim, **sections["optim"])
+    return cfg.replace(**kw) if kw else cfg
+
+
+def args_to_config(
+    a: argparse.Namespace, explicit=None, stage: str = None
+) -> TrainConfig:
+    """Namespace -> TrainConfig.
+
+    Without ``stage``: every flag applies (argparse defaults included).
+    With ``stage``: start from the preset (reference README recipe) and
+    apply only the explicitly-passed flags on top.
+    """
+    if stage is not None:
+        from planedepth_tpu.config import STAGE_PRESETS
+
+        cfg = STAGE_PRESETS[stage]()
+        if explicit is None:
+            explicit = set()
+        return _apply_overrides(cfg, a, sorted(explicit & set(_FLAG_MAP)))
+    return _apply_overrides(TrainConfig(), a, sorted(_FLAG_MAP))

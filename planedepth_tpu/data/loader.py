@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -104,48 +105,72 @@ class BatchLoader:
         except Exception:
             return None
 
-    def _make_batch(self, indices: np.ndarray, epoch: int,
-                    fallback: np.ndarray) -> Dict[str, np.ndarray]:
-        samples: List[Dict] = []
+    def _make_batch(
+        self,
+        indices: np.ndarray,
+        epoch: int,
+        fallback: np.ndarray,
+        executor: Optional[ThreadPoolExecutor] = None,
+    ) -> Dict[str, np.ndarray]:
+        # decode/augment the batch in parallel (the reference uses 12 worker
+        # PROCESSES, options.py:217-220; PIL decode and np IO release the
+        # GIL so threads suffice here and keep arrays zero-copy)
+        if executor is not None:
+            samples: List[Optional[Dict]] = list(
+                executor.map(lambda i: self._load_one(i, epoch), indices)
+            )
+        else:
+            samples = [self._load_one(i, epoch) for i in indices]
+        # deterministic resample of failures, in batch-position order, from
+        # the epoch permutation (replaces the reference's rmnone_collate
+        # None-drop — static batch shapes are required under jit)
         fb = iter(fallback)
-        for idx in indices:
-            s = self._load_one(idx, epoch)
+        out: List[Dict] = []
+        for s in samples:
             while s is None:
-                # deterministic resample instead of a None batch
                 try:
                     s = self._load_one(next(fb), epoch)
                 except StopIteration:
                     raise RuntimeError("all fallback samples failed to load")
-            samples.append(s)
-        return collate(samples)
+            out.append(s)
+        return collate(out)
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         batches = self.sampler.host_batches(epoch)
         fallback = self.sampler.epoch_indices(epoch)
-        if self.prefetch <= 0:
-            for step_idx in batches:
-                yield self._make_batch(step_idx, epoch, fallback)
-            return
-
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
-
-        def producer():
-            try:
-                for step_idx in batches:
-                    if stop.is_set():
-                        return
-                    q.put(self._make_batch(step_idx, epoch, fallback))
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        pool = (
+            ThreadPoolExecutor(self.num_workers)
+            if self.num_workers > 1 else None
+        )
         try:
-            while True:
-                b = q.get()
-                if b is None:
-                    break
-                yield b
+            if self.prefetch <= 0:
+                for step_idx in batches:
+                    yield self._make_batch(step_idx, epoch, fallback, pool)
+                return
+
+            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+            stop = threading.Event()
+
+            def producer():
+                try:
+                    for step_idx in batches:
+                        if stop.is_set():
+                            return
+                        q.put(self._make_batch(step_idx, epoch, fallback,
+                                               pool))
+                finally:
+                    q.put(None)
+
+            t = threading.Thread(target=producer, daemon=True)
+            t.start()
+            try:
+                while True:
+                    b = q.get()
+                    if b is None:
+                        break
+                    yield b
+            finally:
+                stop.set()
         finally:
-            stop.set()
+            if pool is not None:
+                pool.shutdown(wait=False)

@@ -6,9 +6,13 @@ the batch sharded over the ``data`` axis and parameters replicated.  The XLA
 SPMD partitioner inserts every collective (psum over ICI): DDP, SyncBN and
 the validation all-reduce all fall out of the sharding annotations.
 
-``shard_batch``/``replicate`` return NamedShardings used as in/out shardings
-of the jitted train step; ``host_local_slice`` maps a per-host batch into the
-global array (multi-host ready via ``jax.make_array_from_process_local_data``).
+``shard_batch`` places a host batch onto the mesh.  Under a single process
+it is a plain async ``device_put``; under ``jax.process_count() > 1`` each
+process passes its per-host slice (produced by ``data.loader.EpochSampler``'s
+host sharding) and the slices are assembled into one GLOBAL array via
+``jax.make_array_from_process_local_data`` — the jitted step then computes
+on the global batch, so gradient/BN/metric reductions are global
+automatically and every process sees identical outputs.
 """
 from __future__ import annotations
 
@@ -55,13 +59,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch onto the mesh, sharded along axis 0 (and image
-    rows along 'spatial' for rank>=3 arrays on a 2-D mesh)."""
+    """Place a (per-process) host batch onto the mesh, sharded along axis 0
+    (and image rows along 'spatial' for rank>=3 arrays on a 2-D mesh).
+
+    Multi-process: the input is this process's slice of the global batch
+    (axis 0 length = per_host_batch); the result is a global array of
+    batch axis length per_host_batch * process_count.
+    """
     data_only = NamedSharding(mesh, P(DATA_AXIS))
     full = batch_sharding(mesh)
+    multiprocess = jax.process_count() > 1
 
     def put(x):
-        sh = full if getattr(x, "ndim", 0) >= 3 else data_only
+        # image-like (B, H, W, C) tensors additionally shard rows on a 2-D
+        # spatial mesh; matrices like K/Rt (B, 4, 4) stay data-sharded only
+        sh = full if getattr(x, "ndim", 0) >= 4 else data_only
+        if multiprocess:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
         return jax.device_put(x, sh)
 
     return jax.tree_util.tree_map(put, batch)
