@@ -52,8 +52,21 @@ class Trainer:
     def __init__(self, cfg: TrainConfig, datasets=None):
         self.cfg = cfg
         self.log_path = os.path.join(cfg.log_dir, cfg.model_name)
-        self.mesh = make_mesh()
+        if cfg.mesh_shape:
+            n = int(np.prod(cfg.mesh_shape))
+            spatial = cfg.mesh_shape[1] if len(cfg.mesh_shape) > 1 else 1
+            self.mesh = make_mesh(jax.devices()[:n], spatial=spatial)
+        else:
+            self.mesh = make_mesh()
         self.n_devices = len(self.mesh.devices.ravel())
+        data_dim = self.mesh.shape[  # batch axis extent of the mesh
+            self.mesh.axis_names[0]
+        ]
+        assert cfg.per_step_batch % (data_dim * jax.process_count()) == 0, (
+            f"per_step_batch {cfg.per_step_batch} must be divisible by the "
+            f"mesh data axis ({data_dim}) x hosts ({jax.process_count()}); "
+            f"set --batch_size or mesh_shape accordingly"
+        )
 
         # data ---------------------------------------------------------------
         if datasets is not None:
