@@ -1,12 +1,17 @@
 """Throughput benchmark: stage-1 PlaneDepth training step on real hardware.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
 Metric: KITTI-shaped images/sec/chip at 1280x384 for the FULL training step
 (ResNet-50 + DenseASPP plane decoder, 49+14 planes, mixture loss, plane
 residuals, flip_right, disp_warp view synthesis, Adam update) on synthetic
 data — the BASELINE.md throughput north-star.
+
+Ladder: rungs are tried in order of measured-best-first on v5e (15.75G HBM)
+and the first that fits wins; later rungs are OOM fallbacks.  The JSON
+reports the chosen rung and the model-FLOPs utilization (MFU) against the
+v5e bf16 peak.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 The denominator is an estimate of the reference's per-GPU HR-finetune rate:
@@ -21,11 +26,23 @@ import time
 
 REF_IMGS_PER_SEC_PER_CHIP = 2.0   # documented estimate, see module docstring
 H, W = 384, 1280
+# bf16 peak of one v5e chip (197 TFLOP/s); MFU is vs. this
+PEAK_FLOPS = 197e12
 
 
-def run_bench(per_step_batch: int, remat: bool = False):
+def _enable_compile_cache():
     import jax
-    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def run_bench(per_step_batch: int, remat: bool = False,
+              remat_warp: bool = False, fused: bool = False,
+              n_timed: int = 10):
+    import jax
+
+    _enable_compile_cache()
 
     from planedepth_tpu.config import (
         DataConfig, LossConfig, ModelConfig, OptimConfig, TrainConfig,
@@ -34,6 +51,7 @@ def run_bench(per_step_batch: int, remat: bool = False):
     from planedepth_tpu.train import (
         ModelBundle, create_train_state, make_optimizer, make_train_step,
     )
+    import jax.numpy as jnp
 
     cfg = TrainConfig(
         batch_size=2 * per_step_batch,
@@ -43,7 +61,9 @@ def run_bench(per_step_batch: int, remat: bool = False):
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=True,
-        remat_warp=remat,
+        remat_warp=remat_warp,
+        fused_sweep=fused,
+        allow_random_pc=True,
     )
     bundle = ModelBundle(cfg)
     params, batch_stats, pc_params = bundle.init(jax.random.PRNGKey(0), H, W)
@@ -57,44 +77,68 @@ def run_bench(per_step_batch: int, remat: bool = False):
     rng = jax.random.PRNGKey(0)
     step = jax.jit(make_train_step(bundle, tx), donate_argnums=(0,))
 
+    # compiled-step FLOPs for MFU (XLA cost analysis; 0 when unavailable)
+    flops = 0.0
+    try:
+        lowered = jax.jit(
+            make_train_step(bundle, tx), donate_argnums=(0,)
+        ).lower(state, batch, rng)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+
     # compile + warmup
     state, metrics = step(state, batch, rng)
     jax.block_until_ready(metrics["loss/total_loss"])
 
-    n_steps = 10
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for _ in range(n_timed):
         state, metrics = step(state, batch, rng)
     jax.block_until_ready(metrics["loss/total_loss"])
-    dt = time.perf_counter() - t0
-    imgs_per_sec = per_step_batch * n_steps / dt
-    return imgs_per_sec, float(metrics["loss/total_loss"])
+    dt = (time.perf_counter() - t0) / n_timed
+    imgs_per_sec = per_step_batch / dt
+    mfu = flops / dt / PEAK_FLOPS if flops else 0.0
+    return imgs_per_sec, float(metrics["loss/total_loss"]), mfu
+
+
+# (per_step_batch, remat, remat_warp, fused, label) — best-first on v5e,
+# later rungs are fallbacks for smaller-HBM parts
+LADDER = (
+    (1, False, False, False, "b1_plain"),
+    (1, True, True, False, "b1_remat"),
+    (1, False, False, True, "b1_fused"),
+)
 
 
 def main():
-    # manual mode: bench.py <per_step_batch> [remat]
+    # manual mode: bench.py <per_step_batch> [remat] [remat_warp] [fused]
     if len(sys.argv) > 1:
         pb = int(sys.argv[1])
-        remat = len(sys.argv) > 2 and sys.argv[2] == "remat"
-        imgs_per_sec, loss = run_bench(pb, remat)
+        opts = set(sys.argv[2:])
+        imgs_per_sec, loss, mfu = run_bench(
+            pb, remat="remat" in opts, remat_warp="remat_warp" in opts,
+            fused="fused" in opts,
+        )
         print(json.dumps({
             "metric": "train_imgs_per_sec_per_chip_1280x384",
             "value": round(imgs_per_sec, 3),
             "unit": "imgs/s/chip",
             "vs_baseline": round(imgs_per_sec / REF_IMGS_PER_SEC_PER_CHIP, 3),
             "per_step_batch": pb,
-            "remat": remat,
+            "opts": sorted(opts),
+            "mfu": round(mfu, 4),
         }))
         return
 
-    # ladder calibrated on v5e (15.75G HBM): the HR stage-1 step fits at
-    # per-step batch 1 (effective 2 after flip_right); larger batches OOM
-    # (the bf16 plane stacks + conv residuals; see ops/pallas_sweep.py for
-    # the memory-bound escape hatch)
     last_err = None
-    for per_step_batch in (1,):
+    for pb, remat, remat_warp, fused, label in LADDER:
         try:
-            imgs_per_sec, loss = run_bench(per_step_batch)
+            imgs_per_sec, loss, mfu = run_bench(
+                pb, remat=remat, remat_warp=remat_warp, fused=fused
+            )
             print(json.dumps({
                 "metric": "train_imgs_per_sec_per_chip_1280x384",
                 "value": round(imgs_per_sec, 3),
@@ -102,9 +146,11 @@ def main():
                 "vs_baseline": round(
                     imgs_per_sec / REF_IMGS_PER_SEC_PER_CHIP, 3
                 ),
+                "rung": label,
+                "mfu": round(mfu, 4),
             }))
             return
-        except Exception as e:  # OOM at larger batch: retry smaller
+        except Exception as e:  # OOM at this rung: fall back
             last_err = e
             continue
     print(json.dumps({

@@ -121,7 +121,62 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
         )
         return c * m
 
-    return sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec
+    # --- diff variants (backward): also return masked tap differences -------
+    # the taps are already loaded for the interpolation, so the forward
+    # differences d/dshift needs (w1 - w0 for logits/sigma/src) are FREE
+    # here; the backward caches them in VMEM scratch instead of re-windowing
+    def sample_lsd_rows(n):
+        l_rows, s_rows, ld_rows, sd_rows = [], [], [], []
+        for r in range(R):
+            p, f = taps(r, n)
+            m = mask_ref[r, n]
+            l0 = window_row(log_ref, n, r, p)
+            l1 = window_row(log_ref, n, r, p + 1)
+            s0 = window_row(sig_ref, n, r, p)
+            s1 = window_row(sig_ref, n, r, p + 1)
+            l_rows.append(((1.0 - f) * l0 + f * l1) * m)
+            s_rows.append(jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0))
+            ld_rows.append((l1 - l0) * m)
+            sd_rows.append((s1 - s0) * m)
+        return (
+            jnp.concatenate(l_rows, 0), jnp.concatenate(s_rows, 0),
+            jnp.concatenate(ld_rows, 0), jnp.concatenate(sd_rows, 0),
+        )
+
+    def sample_lsd_vec(n):
+        p, f = taps(0, n)
+        m = mask_ref[0, n]
+        l0 = window_vec(log_ref, n, p)
+        l1 = window_vec(log_ref, n, p + 1)
+        s0 = window_vec(sig_ref, n, p)
+        s1 = window_vec(sig_ref, n, p + 1)
+        return (
+            ((1.0 - f) * l0 + f * l1) * m,
+            jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0),
+            (l1 - l0) * m,
+            (s1 - s0) * m,
+        )
+
+    def sample_cd_rows(n):
+        rows_c, rows_cd = [], []
+        for r in range(R):
+            p, f = taps(r, n)
+            m = mask_ref[r, n]
+            c0 = window_row(src_ref, None, r, p)
+            c1 = window_row(src_ref, None, r, p + 1)
+            rows_c.append(((1.0 - f) * c0 + f * c1) * m)
+            rows_cd.append((c1 - c0) * m)
+        return (jnp.concatenate(rows_c, 1), jnp.concatenate(rows_cd, 1))
+
+    def sample_cd_vec(n):
+        p, f = taps(0, n)
+        m = mask_ref[0, n]
+        c0 = window_vec(src_ref, None, p)
+        c1 = window_vec(src_ref, None, p + 1)
+        return ((1.0 - f) * c0 + f * c1) * m, (c1 - c0) * m
+
+    return (sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec,
+            sample_lsd_rows, sample_lsd_vec, sample_cd_rows, sample_cd_vec)
 
 
 def _fwd_kernel(
@@ -150,7 +205,7 @@ def _fwd_kernel(
     helpers = _make_samplers(
         shift_ref, mask_ref, src_ref, log_ref, sig_ref, R, W, pad
     )
-    sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec = helpers
+    sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec = helpers[:4]
 
     def fill(n, sampler):
         l_n, s_n = sampler(n)
@@ -228,8 +283,12 @@ def _bwd_kernel(
     dshift_ref,  # (N, R, 128) out — scalar per (n, r) broadcast across
                  # lanes (lane-dim dynamic scalar stores are not
                  # expressible; column 0 is read back outside)
-    l_scr,       # (N, R, W) f32
-    s_scr,       # (N, R, W) f32
+    l_scr,       # (N, R, W) f32 sampled+masked logits
+    s_scr,       # (N, R, W) f32 sampled+clamped sigmas
+    ld_scr,      # (N, R, W) f32 masked logit tap diffs (d/dshift)
+    sd_scr,      # (N, R, W) f32 masked sigma tap diffs
+    c_scr,       # (N, 3, R, W) f32 sampled+masked source colors
+    cd_scr,      # (N, 3, R, W) f32 masked color tap diffs
     g_scr,       # (3, R, WG) f32 padded per-plane dci rows (reused)
     *,
     n_planes: int,
@@ -244,6 +303,12 @@ def _bwd_kernel(
       S = sum_j dpi_j pi_j collapses to inv_u*A + dM*M + dU*U where
       A = sum_n dwgt_n u_n — so two plane passes after the forward
       recomputation suffice (couplings, then emission).
+
+    Every input window is sliced exactly ONCE: the recomputation passes
+    cache the sampled values AND the tap differences (free — both taps are
+    loaded for the interpolation anyway) in VMEM scratch, so the emission
+    pass does no forward sampling at all and d/dshift reduces over cached
+    (R, W) blocks instead of per-row re-windows.
     """
     N, R, W = n_planes, rows, width
     NV = n_vertical
@@ -253,7 +318,8 @@ def _bwd_kernel(
     helpers = _make_samplers(
         shift_ref, mask_ref, src_ref, log_ref, sig_ref, R, W, pad
     )
-    sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec = helpers
+    sample_lsd_rows, sample_lsd_vec = helpers[4:6]
+    sample_cd_rows, sample_cd_vec = helpers[6:8]
 
     def taps(r, n):
         s = shift_ref[r, n]
@@ -263,22 +329,6 @@ def _bwd_kernel(
     def roll_amt(start):
         q = pl.multiple_of((start // 128) * 128, 128)
         return q, (WQ - (start - q)) % WQ
-
-    def window(ref, pre, r, start):
-        q, amt = roll_amt(start)
-        if pre is None:
-            win = ref[:, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
-            return pltpu.roll(win, amt, axis=2)[:, :, :W]
-        win = ref[pre, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
-        return pltpu.roll(win, amt, axis=1)[:, :W]
-
-    def window_vec(ref, pre, start):
-        q, amt = roll_amt(start)
-        if pre is None:
-            win = ref[:, :, pl.ds(q, WQ)].astype(F32)
-            return pltpu.roll(win, amt, axis=2)[:, :, :W]
-        win = ref[pre, :, pl.ds(q, WQ)].astype(F32)
-        return pltpu.roll(win, amt, axis=1)[:, :W]
 
     def g_window(r, start):
         q, amt = roll_amt(start)
@@ -294,9 +344,11 @@ def _bwd_kernel(
     def pass1(sampler):
         def body(n, carry):
             m_run, s_run = carry
-            l_n, s_n = sampler(n)
+            l_n, s_n, ld_n, sd_n = sampler(n)
             l_scr[n] = l_n
             s_scr[n] = s_n
+            ld_scr[n] = ld_n
+            sd_scr[n] = sd_n
             m_new = jnp.maximum(m_run, l_n)
             return m_new, s_run * jnp.exp(m_run - m_new) + jnp.exp(
                 l_n - m_new
@@ -304,8 +356,8 @@ def _bwd_kernel(
         return body
 
     carry = (jnp.full((R, W), -1e30, F32), jnp.zeros((R, W), F32))
-    carry = jax.lax.fori_loop(0, NV, pass1(sample_ls_vec), carry)
-    m_run, s_run = jax.lax.fori_loop(NV, N, pass1(sample_ls_rows), carry)
+    carry = jax.lax.fori_loop(0, NV, pass1(sample_lsd_vec), carry)
+    m_run, s_run = jax.lax.fori_loop(NV, N, pass1(sample_lsd_rows), carry)
     lse = m_run + jnp.log(s_run)
 
     tgt = tgt_ref[...].astype(F32)
@@ -315,14 +367,16 @@ def _bwd_kernel(
     gN = gnll_ref[...].astype(F32)
     gA_ = gnla_ref[...].astype(F32)
 
-    # ---- couplings: U, A, M, Ma, dEa ---------------------------------------
+    # ---- couplings: U, A, M, Ma, dEa (also caches c + its tap diffs) -------
     def pass2(sampler):
         def body(n, carry):
             U, A, M, Ma, dEa = carry
             pi_n = jnp.exp(l_scr[n] - lse)
             s_n = s_scr[n]
             u_n = pi_n / s_n
-            c_n = sampler(n)
+            c_n, cd_n = sampler(n)
+            c_scr[n] = c_n
+            cd_scr[n] = cd_n
             e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
             lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
             lapa_n = 0.5 * jnp.exp(-e_auto / s_n) / s_n
@@ -335,8 +389,8 @@ def _bwd_kernel(
         return body
 
     carry = tuple(jnp.zeros((R, W), F32) for _ in range(5))
-    carry = jax.lax.fori_loop(0, NV, pass2(sample_c_vec), carry)
-    U, A, M, Ma, dEa = jax.lax.fori_loop(NV, N, pass2(sample_c_rows), carry)
+    carry = jax.lax.fori_loop(0, NV, pass2(sample_cd_vec), carry)
+    U, A, M, Ma, dEa = jax.lax.fori_loop(NV, N, pass2(sample_cd_rows), carry)
     inv_u = jnp.where(U > 1e-7, 1.0 / jnp.maximum(U, 1e-7), 0.0)
     dM = -gN * (M > 0) / (jnp.maximum(M, 0.0) + 1e-7)
     dMa = -gA_ * (Ma > 0) / (jnp.maximum(Ma, 0.0) + 1e-7)
@@ -344,15 +398,16 @@ def _bwd_kernel(
     dU = -(inv_u**2) * A * (U > 1e-7)
     S = inv_u * A + dM * M + dU * U
 
-    # ---- emission ----------------------------------------------------------
+    # ---- emission (no forward sampling — everything is in scratch) ---------
     dsrc_acc0 = jnp.sign(src0 - tgt) * (dEa / 3.0)[None]
     dsrc_ref[...] = dsrc_acc0
     dtgt_ref[...] = -dsrc_acc0
     # pad regions stay zero: both stagings below only write [pad, pad+W)
     g_scr[...] = jnp.zeros((3, R, WG), F32)
 
-    def plane_grads(n, c_n):
-        """Shared per-plane adjoint algebra -> (dl, ds_gated, dc)."""
+    def plane_grads(n):
+        """Shared per-plane adjoint algebra -> (dl, ds_gated, dc, dshift)."""
+        c_n = c_scr[n]
         pi_n = jnp.exp(l_scr[n] - lse)
         s_n = s_scr[n]
         e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
@@ -373,32 +428,26 @@ def _bwd_kernel(
         sgn = jnp.sign(c_n - tgt)
         dc_n = G * wgt_n[None] + sgn * (de_n / 3.0)[None]
         dtgt_ref[...] += -sgn * (de_n / 3.0)[None]
-        return dl_n, ds_gate, dc_n
+        # d/dshift: one (R,) reduction over the cached tap diffs (the
+        # diffs carry the mask; the adjoints are multiplied by it anyway)
+        dshift_r = (
+            jnp.sum(dl_n * ld_scr[n] + ds_gate * sd_scr[n], axis=1)
+            + jnp.sum(dc_n * cd_scr[n], axis=(0, 2))
+        )                                                   # (R,)
+        return dl_n, ds_gate, dc_n, dshift_r
 
     def pass3_vec(n, _):
-        c_n = sample_c_vec(n)
-        dl_n, ds_g, dc_n = plane_grads(n, c_n)
+        dl_n, ds_g, dc_n, dshift_r = plane_grads(n)
         p, f = taps(0, n)
         m = mask_ref[0, n]
         rev = 2 * pad - p
 
-        # d_src: reverse-window the masked dci block
+        dshift_ref[n] = jnp.broadcast_to(dshift_r[:, None], (R, 128))
+
+        # d_src / d_logits / d_sigma via reverse windows of staged blocks
         g_scr[:, :, pl.ds(pad, W)] = dc_n * m
         back = (1.0 - f) * g_window_vec(rev) + f * g_window_vec(rev - 1)
         dsrc_ref[...] += back
-
-        # d shift per row (one vectorized diff per stream)
-        a_d = window_vec(log_ref, n, p + 1) - window_vec(log_ref, n, p)
-        b_d = window_vec(sig_ref, n, p + 1) - window_vec(sig_ref, n, p)
-        c_d = window_vec(src_ref, None, p + 1) - window_vec(src_ref, None, p)
-        val = (
-            jnp.sum(dl_n * m * a_d, axis=1, keepdims=True)
-            + jnp.sum(ds_g * m * b_d, axis=1, keepdims=True)
-            + jnp.sum((dc_n * m) * c_d, axis=(0, 2))[:, None]
-        )                                                   # (R, 1)
-        dshift_ref[n] = jnp.broadcast_to(val, (R, 128))
-
-        # d logits / d sigma via the same reverse window
         g_scr[0, :, pl.ds(pad, W)] = dl_n * m
         g_scr[1, :, pl.ds(pad, W)] = ds_g * m
         back2 = (1.0 - f) * g_window_vec(rev) + f * g_window_vec(rev - 1)
@@ -407,29 +456,18 @@ def _bwd_kernel(
         return 0
 
     def pass3_rows(n, _):
-        c_n = sample_c_rows(n)
-        dl_n, ds_g, dc_n = plane_grads(n, c_n)
+        dl_n, ds_g, dc_n, dshift_r = plane_grads(n)
+        dshift_ref[n] = jnp.broadcast_to(dshift_r[:, None], (R, 128))
 
         for r in range(R):
             m = mask_ref[r, n]
             g_scr[:, pl.ds(r, 1), pl.ds(pad, W)] = dc_n[:, r : r + 1] * m
         dsrc_rows = []
-        dshift_cols = []
         for r in range(R):
             p, f = taps(r, n)
-            m = mask_ref[r, n]
             rev = 2 * pad - p
             back = (1.0 - f) * g_window(r, rev) + f * g_window(r, rev - 1)
             dsrc_rows.append(back)
-            a_d = window(log_ref, n, r, p + 1) - window(log_ref, n, r, p)
-            b_d = window(sig_ref, n, r, p + 1) - window(sig_ref, n, r, p)
-            c_d = window(src_ref, None, r, p + 1) - window(src_ref, None, r, p)
-            val = (
-                jnp.sum(dl_n[r : r + 1] * m * a_d)
-                + jnp.sum(ds_g[r : r + 1] * m * b_d)
-                + jnp.sum((dc_n[:, r : r + 1] * m) * c_d)
-            )
-            dshift_cols.append(val)
         dsrc_ref[...] += jnp.concatenate(dsrc_rows, axis=1)
 
         for r in range(R):
@@ -442,9 +480,6 @@ def _bwd_kernel(
             back = (1.0 - f) * g_window(r, rev) + f * g_window(r, rev - 1)
             dlog_ref[n, pl.ds(r, 1)] = back[0]
             dsig_ref[n, pl.ds(r, 1)] = back[1]
-        for r in range(R):
-            dshift_ref[n, pl.ds(r, 1)] = jnp.full((1, 128), dshift_cols[r],
-                                                  F32)
         return 0
 
     jax.lax.fori_loop(0, NV, pass3_vec, 0)
@@ -605,12 +640,16 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
             jax.ShapeDtypeStruct((B, N, H, 128), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, R, W), F32),
-            pltpu.VMEM((N, R, W), F32),
-            pltpu.VMEM((3, R, WG), F32),
+            pltpu.VMEM((N, R, W), F32),       # l
+            pltpu.VMEM((N, R, W), F32),       # s
+            pltpu.VMEM((N, R, W), F32),       # ld (tap diffs)
+            pltpu.VMEM((N, R, W), F32),       # sd
+            pltpu.VMEM((N, 3, R, W), F32),    # c
+            pltpu.VMEM((N, 3, R, W), F32),    # cd
+            pltpu.VMEM((3, R, WG), F32),      # reverse-window staging
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(shift, mask, src_p, target_t, log_p, sig_p, g_rgb, g_nll, g_nla)

@@ -15,28 +15,41 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 from planedepth_tpu.ops.pallas_sweep import (
     fused_plane_sweep, oracle_dense, sweep_forward,
 )
 
 
-def make(B, H, W, N, seed=0, dtype=jnp.float32):
+def make(B, H, W, N, seed=0, dtype=jnp.float32, n_vertical=0,
+         max_shift=40.0):
+    """Synthetic sweep inputs.  The first ``n_vertical`` planes get
+    ROW-CONSTANT shifts (the production vertical-plane structure the
+    vectorized kernel paths rely on); the rest vary per row (ground
+    planes)."""
     rng = np.random.default_rng(seed)
+    shift = rng.uniform(0.0, max_shift, (B, H, N)).astype(np.float32)
+    if n_vertical:
+        shift[:, :, :n_vertical] = rng.uniform(
+            0.0, max_shift, (B, 1, n_vertical)
+        )
     return (
         jnp.asarray(rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)).astype(dtype),
         jnp.asarray(rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)).astype(dtype),
         jnp.asarray(rng.standard_normal((B, N, H, W)).astype(np.float32)).astype(dtype),
         jnp.asarray(rng.uniform(0.05, 0.95, (B, N, H, W)).astype(np.float32)).astype(dtype),
-        jnp.asarray(rng.uniform(0.0, 40.0, (B, H, N)).astype(np.float32)),
+        jnp.asarray(shift),
         jnp.asarray((rng.uniform(0, 1, (B, H, N)) > 0.2).astype(np.float32)),
     )
 
 
-def check():
+def check(n_vertical=49):
     B, H, W, N = 2, 64, 640, 63
-    args = make(B, H, W, N)
+    args = make(B, H, W, N, n_vertical=n_vertical)
     pad = 64
-    out_k = sweep_forward(*args, pad=pad)
+    out_k = sweep_forward(*args, pad=pad, n_vertical=n_vertical)
     out_o = oracle_dense(*args)
     for name, a, b in zip(("rgb", "nll", "nll_auto"), out_k, out_o):
         a, b = np.asarray(a), np.asarray(b)
@@ -50,7 +63,8 @@ def check():
             return sum(jnp.sum(x * y) for x, y in zip(o, g))
         return w
 
-    gf = jax.grad(scal(lambda *a: fused_plane_sweep(*a, pad, False)),
+    gf = jax.grad(scal(lambda *a: fused_plane_sweep(*a, pad, False,
+                                                    n_vertical)),
                   argnums=(0, 1, 2, 3, 4))(*args[:5])
     go = jax.grad(scal(oracle_dense), argnums=(0, 1, 2, 3, 4))(*args[:5])
     for name, a, b in zip(("src", "tgt", "log", "sig", "shift"), gf, go):
@@ -59,12 +73,17 @@ def check():
               f"ref|max|={np.abs(b).max():.3e}")
 
 
-def timeit_shapes():
-    B, H, W, N = 8, 384, 1280, 63
-    args = make(B, H, W, N, dtype=jnp.bfloat16)
+def timeit_shapes(B=8, n_vertical=49):
+    """Stage-1 HR shape with the PRODUCTION plane structure: 49 vertical
+    planes (row-constant shifts -> vectorized kernel paths) + 14 ground
+    planes (per-row shifts)."""
+    H, W, N = 384, 1280, 63
+    args = make(B, H, W, N, dtype=jnp.bfloat16, n_vertical=n_vertical,
+                max_shift=300.0)
     pad = 328
 
-    fwd = jax.jit(lambda *a: sweep_forward(*a, pad=pad))
+    fwd = jax.jit(lambda *a: sweep_forward(*a, pad=pad,
+                                           n_vertical=n_vertical))
     out = fwd(*args)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
@@ -72,10 +91,10 @@ def timeit_shapes():
         out = fwd(*args)
     jax.block_until_ready(out)
     print(f"fwd kernel: {(time.perf_counter()-t0)/10*1e3:.2f} ms "
-          f"(B{B} {H}x{W} N{N})")
+          f"(B{B} {H}x{W} N{N} nv{n_vertical})")
 
     def loss(*a5):
-        o = fused_plane_sweep(*a5, args[5], pad, False)
+        o = fused_plane_sweep(*a5, args[5], pad, False, n_vertical)
         return sum(jnp.sum(x) for x in o)
 
     gr = jax.jit(jax.grad(loss, argnums=(0, 2, 3, 4)))
