@@ -18,6 +18,8 @@ from planedepth_tpu.train import (
     ModelBundle, create_train_state, make_optimizer, make_train_step,
 )
 
+pytestmark = pytest.mark.heavy
+
 H, W = 64, 96
 SMALL_PLANES = PlaneConfig(disp_levels=7, disp_min=2, disp_max=30,
                            xz_levels=3, yz_levels=0)

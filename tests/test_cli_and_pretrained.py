@@ -100,6 +100,40 @@ def test_no_stage_uses_argparse_defaults():
     assert cfg.restore_optimizer            # --no_restore_optimizer unset
 
 
+def test_evaluate_adopts_checkpoint_meta():
+    """Evaluating an HR checkpoint with default flags must run at the
+    checkpoint's resolution + net config (reference embeds height/width in
+    encoder.pth, trainer.py:879-882)."""
+    import json
+
+    from planedepth_tpu.cli.evaluate import apply_checkpoint_meta
+    from planedepth_tpu.config import hr_finetune_config
+
+    saved = hr_finetune_config(model=ModelConfig(num_layers=101))
+    meta = {"height": 384, "width": 1280,
+            "config": json.loads(saved.to_json())}
+
+    cfg = parse(["--eval_stereo"])  # defaults: 192x640, resnet50
+    out = apply_checkpoint_meta(cfg, meta, explicit=set())
+    assert (out.data.height, out.data.width) == (384, 1280)
+    assert out.model.num_layers == 101
+
+    # explicit flags win
+    cfg2 = parse(["--eval_stereo", "--height", "192", "--num_layers", "18"])
+    out2 = apply_checkpoint_meta(
+        cfg2, meta, explicit={"height", "num_layers"}
+    )
+    assert out2.data.height == 192
+    assert out2.data.width == 1280          # not explicit -> from meta
+    assert out2.model.num_layers == 18      # any model flag -> CLI model
+
+    # config round-trip helper
+    rebuilt = TrainConfig.from_dict(json.loads(saved.to_json()))
+    assert rebuilt.model.num_layers == 101
+    assert rebuilt.optim.milestones == saved.optim.milestones
+    assert rebuilt.data.no_crop == saved.data.no_crop
+
+
 # ---------------------------------------------------------------------------
 # pretrained weight wiring
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
 """The fused-sweep train step == the oracle train step (loss + update)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,8 @@ from planedepth_tpu.data.synthetic import make_stereo_batch
 from planedepth_tpu.train import (
     ModelBundle, create_train_state, make_optimizer, make_train_step,
 )
+
+pytestmark = pytest.mark.heavy
 
 H, W = 64, 96
 

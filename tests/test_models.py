@@ -20,6 +20,8 @@ from planedepth_tpu.models import (
     encoder_channels,
 )
 
+pytestmark = pytest.mark.heavy
+
 H, W = 64, 96
 RNG = jax.random.PRNGKey(0)
 

@@ -11,6 +11,8 @@ from planedepth_tpu.ops.pallas_sweep import (
     sweep_forward,
 )
 
+pytestmark = pytest.mark.heavy
+
 B, H, W, N = 2, 8, 64, 6
 PAD = 12
 RNG = np.random.default_rng(17)

@@ -5,6 +5,7 @@ The reference trusts DDP+SyncBN to match large-batch single-GPU training
 layout: the same global batch produces (numerically) the same loss and
 parameter update whether it runs on 1 device or sharded over 8.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -19,6 +20,8 @@ from planedepth_tpu.parallel.mesh import (
 from planedepth_tpu.train import (
     ModelBundle, create_train_state, make_optimizer, make_train_step,
 )
+
+pytestmark = pytest.mark.heavy
 
 H, W = 64, 96
 

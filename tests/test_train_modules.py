@@ -1,5 +1,6 @@
 """Unit tests for flip_right, the distillation teacher pass, view synthesis
 invariants, checkpoint roundtrip, and the torch weight converter."""
+import pytest
 import os
 
 import jax
@@ -15,6 +16,8 @@ from planedepth_tpu.train import (
     generate_post_process_disp, make_optimizer, pred_novel_images,
 )
 from planedepth_tpu.train.distill import flip_grid, flip_w
+
+pytestmark = pytest.mark.heavy
 
 H, W = 32, 64
 

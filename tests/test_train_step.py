@@ -27,6 +27,8 @@ from planedepth_tpu.train import (
     make_train_step,
 )
 
+pytestmark = pytest.mark.heavy
+
 H, W = 64, 96
 
 

@@ -19,6 +19,8 @@ from planedepth_tpu.config import (
 )
 from planedepth_tpu.data.synthetic import make_stereo_batch
 
+pytestmark = pytest.mark.heavy
+
 H, W = 64, 96
 
 
