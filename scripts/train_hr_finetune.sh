@@ -3,6 +3,7 @@
 # lr 2.5e-5, partial restore of encoder+depth from stage1.
 python -m planedepth_tpu.cli.train \
   --data_path "${KITTI_PATH:-./kitti_data}" \
+  --weights_dir "${WEIGHTS_DIR:-weights}" \
   --model_name hr_finetune --png \
   --height 384 --width 1280 --split eigen_full_left --no_crop \
   --net_type ResNet --num_layers 50 \

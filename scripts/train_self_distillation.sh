@@ -3,10 +3,11 @@
 # batch 4, lr 2e-5, milestone 5, frozen teacher = restored weights.
 python -m planedepth_tpu.cli.train \
   --data_path "${KITTI_PATH:-./kitti_data}" \
+  --weights_dir "${WEIGHTS_DIR:-weights}" \
   --model_name self_distillation --png \
   --height 384 --width 1280 --split eigen_full_left --no_crop \
   --net_type ResNet --num_layers 50 \
-  --use_denseaspp --use_mixture_loss --plane_residual --flip_right \
+  --use_denseaspp --use_mixture_loss --plane_residual \
   --disp_levels 49 --disp_min 2 --disp_max 300 --xz_levels 14 \
   --num_ep 8 --warp_type disp_warp \
   --self_distillation 1.0 \

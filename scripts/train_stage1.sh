@@ -4,6 +4,7 @@
 # local chips.
 python -m planedepth_tpu.cli.train \
   --data_path "${KITTI_PATH:-./kitti_data}" \
+  --weights_dir "${WEIGHTS_DIR:-weights}" \
   --model_name stage1 --png \
   --height 192 --width 640 --split eigen_full_left \
   --net_type ResNet --num_layers 50 \
