@@ -105,10 +105,12 @@ def run_bench(per_step_batch: int, remat: bool = False,
 
 
 # (per_step_batch, remat, remat_warp, fused, label) — best-first on v5e,
-# later rungs are fallbacks for smaller-HBM parts
+# later rungs are fallbacks for smaller-HBM parts.  Measured on v5e
+# (15.75G HBM): b1_remat 316 imgs/s, b1_plain 226 imgs/s; per-step batch 2
+# OOMs even with remat.
 LADDER = (
-    (1, False, False, False, "b1_plain"),
     (1, True, True, False, "b1_remat"),
+    (1, False, False, False, "b1_plain"),
     (1, False, False, True, "b1_fused"),
 )
 

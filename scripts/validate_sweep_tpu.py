@@ -31,17 +31,21 @@ def make(B, H, W, N, seed=0, dtype=jnp.float32, n_vertical=0,
     planes)."""
     rng = np.random.default_rng(seed)
     shift = rng.uniform(0.0, max_shift, (B, H, N)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (B, H, N)) > 0.2).astype(np.float32)
     if n_vertical:
+        # vertical planes: shift AND mask are row-constant (production
+        # vertical planes have all-ones padding masks)
         shift[:, :, :n_vertical] = rng.uniform(
             0.0, max_shift, (B, 1, n_vertical)
         )
+        mask[:, :, :n_vertical] = 1.0
     return (
         jnp.asarray(rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)).astype(dtype),
         jnp.asarray(rng.uniform(0, 1, (B, 3, H, W)).astype(np.float32)).astype(dtype),
         jnp.asarray(rng.standard_normal((B, N, H, W)).astype(np.float32)).astype(dtype),
         jnp.asarray(rng.uniform(0.05, 0.95, (B, N, H, W)).astype(np.float32)).astype(dtype),
         jnp.asarray(shift),
-        jnp.asarray((rng.uniform(0, 1, (B, H, N)) > 0.2).astype(np.float32)),
+        jnp.asarray(mask),
     )
 
 
@@ -82,28 +86,36 @@ def timeit_shapes(B=8, n_vertical=49):
                 max_shift=300.0)
     pad = 328
 
-    fwd = jax.jit(lambda *a: sweep_forward(*a, pad=pad,
-                                           n_vertical=n_vertical))
-    out = fwd(*args)
-    jax.block_until_ready(out)
+    # reduce outputs to scalars INSIDE the jit and chain them back into the
+    # next call via a dummy addend — defeats any async-dispatch/queue
+    # overlap so wall-clock == device time
+    @jax.jit
+    def fwd_probe(dummy, *a):
+        a = (a[0] + dummy.astype(a[0].dtype) * 0,) + a[1:]
+        o = sweep_forward(*a, pad=pad, n_vertical=n_vertical)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
+
+    s = fwd_probe(jnp.float32(0), *args)
+    s.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(10):
-        out = fwd(*args)
-    jax.block_until_ready(out)
+        s = fwd_probe(s * 0, *args)
+    s.block_until_ready()
     print(f"fwd kernel: {(time.perf_counter()-t0)/10*1e3:.2f} ms "
           f"(B{B} {H}x{W} N{N} nv{n_vertical})")
 
-    def loss(*a5):
+    def loss(dummy, *a5):
+        a5 = (a5[0] + dummy.astype(a5[0].dtype) * 0,) + a5[1:]
         o = fused_plane_sweep(*a5, args[5], pad, False, n_vertical)
-        return sum(jnp.sum(x) for x in o)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
 
-    gr = jax.jit(jax.grad(loss, argnums=(0, 2, 3, 4)))
-    gs = gr(*args[:5])
-    jax.block_until_ready(gs)
+    gr = jax.jit(jax.value_and_grad(loss, argnums=(1, 3, 4, 5)))
+    v, gs = gr(jnp.float32(0), *args[:5])
+    jax.block_until_ready(v)
     t0 = time.perf_counter()
     for _ in range(5):
-        gs = gr(*args[:5])
-    jax.block_until_ready(gs)
+        v, gs = gr(v * 0, *args[:5])
+    v.block_until_ready()
     print(f"fwd+bwd: {(time.perf_counter()-t0)/5*1e3:.2f} ms")
 
 
