@@ -4,9 +4,9 @@ monodepth2-style checkout.
 
 The split lists (eigen_full, eigen_full_left, eigen_zhou, odom, benchmark,
 eigen_raw/improved/benchmark test lists, eigen_to_benchmark_ids.npy) are
-curated data artifacts, not code — this tool copies them verbatim from a
-source tree the user already has, so this repository ships none of the
-reference's files.
+curated data artifacts, not code.  The repository now VENDORS them in
+./splits, so this tool is only needed to refresh or replace them from
+another checkout.
 
 Usage:
     python scripts/import_splits.py /path/to/PlaneDepth/splits
