@@ -8,10 +8,18 @@ Metric: KITTI-shaped images/sec/chip at 1280x384 for the FULL training step
 residuals, flip_right, disp_warp view synthesis, Adam update) on synthetic
 data — the BASELINE.md throughput north-star.
 
-Ladder: rungs are tried in order of measured-best-first on v5e (15.75G HBM)
-and the first that fits wins; later rungs are OOM fallbacks.  The JSON
-reports the chosen rung and the model-FLOPs utilization (MFU) against the
-v5e bf16 peak.
+Ladder: rungs are tried best-first and the first that fits wins; later
+rungs are OOM fallbacks.  The JSON reports the chosen rung and the
+model-FLOPs utilization (MFU) against the v5e bf16 peak.
+
+TIMING METHODOLOGY (changed in round 2): ``jax.block_until_ready`` can
+return before device execution completes on relayed/remote TPU backends,
+so earlier numbers (r1's 184.8, the repo's former "260-360" claim)
+measured dispatch overhead, not device time.  This bench ends every timed
+region with a host readback (``device_get`` — a true barrier; verified
+against the v5e bf16 roofline with a 4096^3 matmul: slope 0.75 ms = 93%
+of peak) and reports the SLOPE between two iteration counts, cancelling
+the fixed dispatch/sync overhead.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 The denominator is an estimate of the reference's per-GPU HR-finetune rate:
@@ -90,18 +98,28 @@ def run_bench(per_step_batch: int, remat: bool = False,
     except Exception:
         pass
 
-    # compile + warmup
+    # compile + warmup.  NOTE: a plain block_until_ready can return before
+    # device execution completes on relayed/remote backends — only a host
+    # readback (device_get) is a true barrier.  Steps are state-chained, so
+    # wall time of n steps = fixed sync overhead + n * step_time; timing
+    # two different n and taking the slope cancels the fixed overhead.
     state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["loss/total_loss"])
+    loss = float(jax.device_get(metrics["loss/total_loss"]))
 
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["loss/total_loss"])
-    dt = (time.perf_counter() - t0) / n_timed
+    def timed(n, state):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, batch, rng)
+        float(jax.device_get(metrics["loss/total_loss"]))   # true barrier
+        return time.perf_counter() - t0, state
+
+    n_small, n_big = 2, 2 + n_timed
+    dt_small, state = timed(n_small, state)
+    dt_big, state = timed(n_big, state)
+    dt = (dt_big - dt_small) / (n_big - n_small)
     imgs_per_sec = per_step_batch / dt
     mfu = flops / dt / PEAK_FLOPS if flops else 0.0
-    return imgs_per_sec, float(metrics["loss/total_loss"]), mfu
+    return imgs_per_sec, loss, mfu
 
 
 # (per_step_batch, remat, remat_warp, fused, label) — best-first on v5e,
@@ -150,6 +168,8 @@ def main():
                 ),
                 "rung": label,
                 "mfu": round(mfu, 4),
+                "methodology": "slope of true-sync (device_get) timings; "
+                               "pre-r2 numbers measured dispatch only",
             }))
             return
         except Exception as e:  # OOM at this rung: fall back

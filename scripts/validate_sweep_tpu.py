@@ -86,23 +86,33 @@ def timeit_shapes(B=8, n_vertical=49):
                 max_shift=300.0)
     pad = 328
 
-    # reduce outputs to scalars INSIDE the jit and chain them back into the
-    # next call via a dummy addend — defeats any async-dispatch/queue
-    # overlap so wall-clock == device time
+    # Timing methodology: chain a scalarized output back into the next
+    # call (forces serial device execution) and end every timed region
+    # with a HOST READBACK — block_until_ready can return early on
+    # relayed/remote backends; only device_get is a true barrier.  Timing
+    # two different iteration counts and taking the slope cancels the
+    # fixed dispatch/readback overhead.
     @jax.jit
     def fwd_probe(dummy, *a):
         a = (a[0] + dummy.astype(a[0].dtype) * 0,) + a[1:]
         o = sweep_forward(*a, pad=pad, n_vertical=n_vertical)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
 
-    s = fwd_probe(jnp.float32(0), *args)
-    s.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(10):
-        s = fwd_probe(s * 0, *args)
-    s.block_until_ready()
-    print(f"fwd kernel: {(time.perf_counter()-t0)/10*1e3:.2f} ms "
-          f"(B{B} {H}x{W} N{N} nv{n_vertical})")
+    def slope(fn, n_small, n_big):
+        def run(n):
+            t0 = time.perf_counter()
+            s = jnp.float32(0)
+            for _ in range(n):
+                s = fn(s * 0)
+            float(jax.device_get(s))
+            return time.perf_counter() - t0
+        d_small = run(n_small)
+        d_big = run(n_big)
+        return (d_big - d_small) / (n_big - n_small)
+
+    float(jax.device_get(fwd_probe(jnp.float32(0), *args)))   # compile
+    dt = slope(lambda s: fwd_probe(s, *args), 2, 10)
+    print(f"fwd kernel: {dt*1e3:.2f} ms (B{B} {H}x{W} N{N} nv{n_vertical})")
 
     def loss(dummy, *a5):
         a5 = (a5[0] + dummy.astype(a5[0].dtype) * 0,) + a5[1:]
@@ -110,13 +120,14 @@ def timeit_shapes(B=8, n_vertical=49):
         return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
 
     gr = jax.jit(jax.value_and_grad(loss, argnums=(1, 3, 4, 5)))
-    v, gs = gr(jnp.float32(0), *args[:5])
-    jax.block_until_ready(v)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        v, gs = gr(v * 0, *args[:5])
-    v.block_until_ready()
-    print(f"fwd+bwd: {(time.perf_counter()-t0)/5*1e3:.2f} ms")
+
+    def gr_scalar(s):
+        v, _ = gr(s, *args[:5])
+        return v
+
+    float(jax.device_get(gr_scalar(jnp.float32(0))))          # compile
+    dt = slope(gr_scalar, 2, 7)
+    print(f"fwd+bwd: {dt*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
