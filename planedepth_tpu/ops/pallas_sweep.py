@@ -60,66 +60,62 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
         q = pl.multiple_of((start // 128) * 128, 128)
         return q, (WQ - (start - q)) % WQ
 
-    def window_row(ref, pre, r, start):
+    # both interpolation taps come from ONE dynamic roll: after rolling the
+    # aligned window so column 0 = ref[start], tap0 = [:W] and
+    # tap1 = [1:W+1] (start - q <= 127, so start - q + W + 1 <= WQ)
+    def window2_row(ref, pre, r, start):
         q, amt = roll_amt(start)
         if pre is None:
             win = ref[:, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
-            return pltpu.roll(win, amt, axis=2)[:, :, :W]
+            rolled = pltpu.roll(win, amt, axis=2)
+            return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
         win = ref[pre, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
-        return pltpu.roll(win, amt, axis=1)[:, :W]
+        rolled = pltpu.roll(win, amt, axis=1)
+        return rolled[:, :W], rolled[:, 1 : W + 1]
 
-    def window_vec(ref, pre, start):
+    def window2_vec(ref, pre, start):
         q, amt = roll_amt(start)
         if pre is None:
             win = ref[:, :, pl.ds(q, WQ)].astype(F32)      # (3, R, WQ)
-            return pltpu.roll(win, amt, axis=2)[:, :, :W]
+            rolled = pltpu.roll(win, amt, axis=2)
+            return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
         win = ref[pre, :, pl.ds(q, WQ)].astype(F32)        # (R, WQ)
-        return pltpu.roll(win, amt, axis=1)[:, :W]
+        rolled = pltpu.roll(win, amt, axis=1)
+        return rolled[:, :W], rolled[:, 1 : W + 1]
 
     def sample_ls_rows(n):
         l_rows, s_rows = [], []
         for r in range(R):
             p, f = taps(r, n)
             m = mask_ref[r, n]
-            l = (1.0 - f) * window_row(log_ref, n, r, p) + f * window_row(
-                log_ref, n, r, p + 1
-            )
-            s = (1.0 - f) * window_row(sig_ref, n, r, p) + f * window_row(
-                sig_ref, n, r, p + 1
-            )
-            l_rows.append(l * m)
-            s_rows.append(jnp.clip(s * m, 0.01, 1.0))
+            l0, l1 = window2_row(log_ref, n, r, p)
+            s0, s1 = window2_row(sig_ref, n, r, p)
+            l_rows.append(((1.0 - f) * l0 + f * l1) * m)
+            s_rows.append(jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0))
         return (jnp.concatenate(l_rows, 0), jnp.concatenate(s_rows, 0))
 
     def sample_ls_vec(n):
         p, f = taps(0, n)
         m = mask_ref[0, n]
-        l = (1.0 - f) * window_vec(log_ref, n, p) + f * window_vec(
-            log_ref, n, p + 1
-        )
-        s = (1.0 - f) * window_vec(sig_ref, n, p) + f * window_vec(
-            sig_ref, n, p + 1
-        )
-        return l * m, jnp.clip(s * m, 0.01, 1.0)
+        l0, l1 = window2_vec(log_ref, n, p)
+        s0, s1 = window2_vec(sig_ref, n, p)
+        return (((1.0 - f) * l0 + f * l1) * m,
+                jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0))
 
     def sample_c_rows(n):
         rows_c = []
         for r in range(R):
             p, f = taps(r, n)
             m = mask_ref[r, n]
-            c = (1.0 - f) * window_row(src_ref, None, r, p) + f * window_row(
-                src_ref, None, r, p + 1
-            )
-            rows_c.append(c * m)
+            c0, c1 = window2_row(src_ref, None, r, p)
+            rows_c.append(((1.0 - f) * c0 + f * c1) * m)
         return jnp.concatenate(rows_c, axis=1)             # (3, R, W)
 
     def sample_c_vec(n):
         p, f = taps(0, n)
         m = mask_ref[0, n]
-        c = (1.0 - f) * window_vec(src_ref, None, p) + f * window_vec(
-            src_ref, None, p + 1
-        )
-        return c * m
+        c0, c1 = window2_vec(src_ref, None, p)
+        return ((1.0 - f) * c0 + f * c1) * m
 
     # --- diff variants (backward): also return masked tap differences -------
     # the taps are already loaded for the interpolation, so the forward
@@ -130,10 +126,8 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
         for r in range(R):
             p, f = taps(r, n)
             m = mask_ref[r, n]
-            l0 = window_row(log_ref, n, r, p)
-            l1 = window_row(log_ref, n, r, p + 1)
-            s0 = window_row(sig_ref, n, r, p)
-            s1 = window_row(sig_ref, n, r, p + 1)
+            l0, l1 = window2_row(log_ref, n, r, p)
+            s0, s1 = window2_row(sig_ref, n, r, p)
             l_rows.append(((1.0 - f) * l0 + f * l1) * m)
             s_rows.append(jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0))
             ld_rows.append((l1 - l0) * m)
@@ -146,10 +140,8 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
     def sample_lsd_vec(n):
         p, f = taps(0, n)
         m = mask_ref[0, n]
-        l0 = window_vec(log_ref, n, p)
-        l1 = window_vec(log_ref, n, p + 1)
-        s0 = window_vec(sig_ref, n, p)
-        s1 = window_vec(sig_ref, n, p + 1)
+        l0, l1 = window2_vec(log_ref, n, p)
+        s0, s1 = window2_vec(sig_ref, n, p)
         return (
             ((1.0 - f) * l0 + f * l1) * m,
             jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0),
@@ -162,8 +154,7 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
         for r in range(R):
             p, f = taps(r, n)
             m = mask_ref[r, n]
-            c0 = window_row(src_ref, None, r, p)
-            c1 = window_row(src_ref, None, r, p + 1)
+            c0, c1 = window2_row(src_ref, None, r, p)
             rows_c.append(((1.0 - f) * c0 + f * c1) * m)
             rows_cd.append((c1 - c0) * m)
         return (jnp.concatenate(rows_c, 1), jnp.concatenate(rows_cd, 1))
@@ -171,8 +162,7 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
     def sample_cd_vec(n):
         p, f = taps(0, n)
         m = mask_ref[0, n]
-        c0 = window_vec(src_ref, None, p)
-        c1 = window_vec(src_ref, None, p + 1)
+        c0, c1 = window2_vec(src_ref, None, p)
         return ((1.0 - f) * c0 + f * c1) * m, (c1 - c0) * m
 
     return (sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec,
@@ -330,15 +320,19 @@ def _bwd_kernel(
         q = pl.multiple_of((start // 128) * 128, 128)
         return q, (WQ - (start - q)) % WQ
 
-    def g_window(r, start):
-        q, amt = roll_amt(start)
+    # reverse interpolation (1-f)*g[rev] + f*g[rev-1] from ONE dynamic roll
+    # anchored at rev-1: tap(rev-1) = rolled[:W], tap(rev) = rolled[1:W+1]
+    def g_back(r, rev, f):
+        q, amt = roll_amt(rev - 1)
         win = g_scr[:, pl.ds(r, 1), pl.ds(q, WQ)]
-        return pltpu.roll(win, amt, axis=2)[:, :, :W]
+        rolled = pltpu.roll(win, amt, axis=2)
+        return (1.0 - f) * rolled[:, :, 1 : W + 1] + f * rolled[:, :, :W]
 
-    def g_window_vec(start):
-        q, amt = roll_amt(start)
+    def g_back_vec(rev, f):
+        q, amt = roll_amt(rev - 1)
         win = g_scr[:, :, pl.ds(q, WQ)]
-        return pltpu.roll(win, amt, axis=2)[:, :, :W]
+        rolled = pltpu.roll(win, amt, axis=2)
+        return (1.0 - f) * rolled[:, :, 1 : W + 1] + f * rolled[:, :, :W]
 
     # ---- forward recomputation: scratches + lse ----------------------------
     def pass1(sampler):
@@ -446,11 +440,10 @@ def _bwd_kernel(
 
         # d_src / d_logits / d_sigma via reverse windows of staged blocks
         g_scr[:, :, pl.ds(pad, W)] = dc_n * m
-        back = (1.0 - f) * g_window_vec(rev) + f * g_window_vec(rev - 1)
-        dsrc_ref[...] += back
+        dsrc_ref[...] += g_back_vec(rev, f)
         g_scr[0, :, pl.ds(pad, W)] = dl_n * m
         g_scr[1, :, pl.ds(pad, W)] = ds_g * m
-        back2 = (1.0 - f) * g_window_vec(rev) + f * g_window_vec(rev - 1)
+        back2 = g_back_vec(rev, f)
         dlog_ref[n] = back2[0]
         dsig_ref[n] = back2[1]
         return 0
@@ -465,9 +458,7 @@ def _bwd_kernel(
         dsrc_rows = []
         for r in range(R):
             p, f = taps(r, n)
-            rev = 2 * pad - p
-            back = (1.0 - f) * g_window(r, rev) + f * g_window(r, rev - 1)
-            dsrc_rows.append(back)
+            dsrc_rows.append(g_back(r, 2 * pad - p, f))
         dsrc_ref[...] += jnp.concatenate(dsrc_rows, axis=1)
 
         for r in range(R):
@@ -476,8 +467,7 @@ def _bwd_kernel(
             g_scr[1, pl.ds(r, 1), pl.ds(pad, W)] = ds_g[r : r + 1] * m
         for r in range(R):
             p, f = taps(r, n)
-            rev = 2 * pad - p
-            back = (1.0 - f) * g_window(r, rev) + f * g_window(r, rev - 1)
+            back = g_back(r, 2 * pad - p, f)
             dlog_ref[n, pl.ds(r, 1)] = back[0]
             dsig_ref[n, pl.ds(r, 1)] = back[1]
         return 0
