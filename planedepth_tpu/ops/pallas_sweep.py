@@ -203,27 +203,30 @@ def _fwd_kernel(
         s_scr[n] = s_n
         return l_n
 
-    # ---- pass 1: logits & sigma samples + online logsumexp ----------------
+    # ---- pass 1: logits & sigma samples + running max (no exp) -------------
     def pass1(sampler):
-        def body(n, carry):
-            m_run, s_run = carry
-            l_n = fill(n, sampler)
-            m_new = jnp.maximum(m_run, l_n)
-            return m_new, s_run * jnp.exp(m_run - m_new) + jnp.exp(
-                l_n - m_new
-            )
+        def body(n, m_run):
+            return jnp.maximum(m_run, fill(n, sampler))
         return body
 
-    carry = (jnp.full((R, W), -1e30, F32), jnp.zeros((R, W), F32))
-    carry = jax.lax.fori_loop(0, NV, pass1(sample_ls_vec), carry)
-    m_run, s_run = jax.lax.fori_loop(NV, N, pass1(sample_ls_rows), carry)
-    lse = m_run + jnp.log(s_run)                          # (R, W)
+    mx = jax.lax.fori_loop(
+        0, NV, pass1(sample_ls_vec), jnp.full((R, W), -1e30, F32)
+    )
+    mx = jax.lax.fori_loop(NV, N, pass1(sample_ls_rows), mx)
 
-    # ---- pass 2: mixture-weight normalizer U = sum_n pi_n / sigma_n --------
-    def pass2(n, U):
-        return U + jnp.exp(l_scr[n] - lse) / s_scr[n]
+    # ---- pass 2 (scratch-only): e = exp(l - max) cached IN PLACE of l,
+    # softmax normalizer se = sum e, mixture normalizer U = (sum e/s)/se ----
+    def pass2(n, carry):
+        se, us = carry
+        e_n = jnp.exp(l_scr[n] - mx)
+        l_scr[n] = e_n                       # overwrite: raw l is dead now
+        return se + e_n, us + e_n / s_scr[n]
 
-    U = jax.lax.fori_loop(0, N, pass2, jnp.zeros((R, W), F32))
+    se, us = jax.lax.fori_loop(
+        0, N, pass2, (jnp.zeros((R, W), F32), jnp.zeros((R, W), F32))
+    )
+    inv_se = 1.0 / se                        # se >= exp(0) = 1 at the max
+    U = us * inv_se
     inv_u = jnp.where(U > 1e-7, 1.0 / jnp.maximum(U, 1e-7), 0.0)
 
     # ---- pass 3: rgb resample, composite, mixture sums ---------------------
@@ -235,7 +238,7 @@ def _fwd_kernel(
     def pass3(sampler):
         def body(n, carry):
             rgb_acc, M, Ma = carry
-            pi_n = jnp.exp(l_scr[n] - lse)
+            pi_n = l_scr[n] * inv_se
             s_n = s_scr[n]
             c_n = sampler(n)                              # (3, R, W)
             wgt = (pi_n / s_n) * inv_u
@@ -334,25 +337,30 @@ def _bwd_kernel(
         rolled = pltpu.roll(win, amt, axis=2)
         return (1.0 - f) * rolled[:, :, 1 : W + 1] + f * rolled[:, :, :W]
 
-    # ---- forward recomputation: scratches + lse ----------------------------
+    # ---- forward recomputation: scratches + running max (no exp) -----------
     def pass1(sampler):
-        def body(n, carry):
-            m_run, s_run = carry
+        def body(n, m_run):
             l_n, s_n, ld_n, sd_n = sampler(n)
             l_scr[n] = l_n
             s_scr[n] = s_n
             ld_scr[n] = ld_n
             sd_scr[n] = sd_n
-            m_new = jnp.maximum(m_run, l_n)
-            return m_new, s_run * jnp.exp(m_run - m_new) + jnp.exp(
-                l_n - m_new
-            )
+            return jnp.maximum(m_run, l_n)
         return body
 
-    carry = (jnp.full((R, W), -1e30, F32), jnp.zeros((R, W), F32))
-    carry = jax.lax.fori_loop(0, NV, pass1(sample_lsd_vec), carry)
-    m_run, s_run = jax.lax.fori_loop(NV, N, pass1(sample_lsd_rows), carry)
-    lse = m_run + jnp.log(s_run)
+    mx = jax.lax.fori_loop(
+        0, NV, pass1(sample_lsd_vec), jnp.full((R, W), -1e30, F32)
+    )
+    mx = jax.lax.fori_loop(NV, N, pass1(sample_lsd_rows), mx)
+
+    # scratch-only: cache e = exp(l - max) in place of l, normalizer se
+    def exp_pass(n, se):
+        e_n = jnp.exp(l_scr[n] - mx)
+        l_scr[n] = e_n
+        return se + e_n
+
+    se = jax.lax.fori_loop(0, N, exp_pass, jnp.zeros((R, W), F32))
+    inv_se = 1.0 / se
 
     tgt = tgt_ref[...].astype(F32)
     src0 = src_ref[:, :, pl.ds(pad, W)].astype(F32)
@@ -365,7 +373,7 @@ def _bwd_kernel(
     def pass2(sampler):
         def body(n, carry):
             U, A, M, Ma, dEa = carry
-            pi_n = jnp.exp(l_scr[n] - lse)
+            pi_n = l_scr[n] * inv_se
             s_n = s_scr[n]
             u_n = pi_n / s_n
             c_n, cd_n = sampler(n)
@@ -402,7 +410,7 @@ def _bwd_kernel(
     def plane_grads(n):
         """Shared per-plane adjoint algebra -> (dl, ds_gated, dc, dshift)."""
         c_n = c_scr[n]
-        pi_n = jnp.exp(l_scr[n] - lse)
+        pi_n = l_scr[n] * inv_se
         s_n = s_scr[n]
         e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
         lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
