@@ -39,17 +39,29 @@ def flip_grid(grid: jnp.ndarray) -> jnp.ndarray:
 
 
 def _shift_sample_per_plane(
-    maps: jnp.ndarray, shift: jnp.ndarray
+    maps: jnp.ndarray, shift: jnp.ndarray, pallas_spec=None
 ) -> jnp.ndarray:
     """Sample each plane's own map at its own horizontal shift.
 
     Args:
       maps: ``(B, H, W, N)``.
-      shift: ``(B, H, W, N)`` source offset in pixels.
+      shift: ``(B, H, W, N)`` source offset in pixels (row-constant along W
+        for the vertical/ground plane volume).
+      pallas_spec: ``(pad, n_vertical, interpret)`` to route through the
+        fused Pallas sampler (``ops.pallas_shift``) — XLA lane gathers are
+        near-scalar on TPU; None keeps the XLA gather path (CPU tests).
 
     Returns:
       ``(B, H, W, N)``.
     """
+    if pallas_spec is not None:
+        from planedepth_tpu.ops.pallas_shift import rowshift_planes_fwd
+
+        pad, n_vertical, interpret = pallas_spec
+        return rowshift_planes_fwd(
+            maps, shift[:, :, 0, :], pad=pad, interpret=interpret,
+            n_vertical=n_vertical,
+        )
 
     def one_plane(m, s):
         # m, s: (B, H, W)
@@ -64,6 +76,7 @@ def generate_post_process_disp(
     color_aug_l: jnp.ndarray,
     grid: jnp.ndarray,
     num_ep: int,
+    pallas_spec=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher post-processed disparity (reference trainer.py:404-466).
 
@@ -89,19 +102,19 @@ def generate_post_process_disp(
     shift_l = -disp_layered[B:]            # sample at x - d_flipped
 
     # o_l: left-view occlusion coverage (trainer.py:443-449)
-    plr = _shift_sample_per_plane(logits[:B], shift_r)
+    plr = _shift_sample_per_plane(logits[:B], shift_r, pallas_spec)
     plr = nn.softmax(plr, axis=-1)
     o_l = jnp.sum(
-        _shift_sample_per_plane(plr, shift_l), axis=-1, keepdims=True
+        _shift_sample_per_plane(plr, shift_l, pallas_spec), axis=-1, keepdims=True
     )
     o_l = jnp.minimum(o_l, 1.0)
 
     # o_fr: flipped-right coverage (trainer.py:451-456)
     pfr = flip_w(logits[B:])
-    pfrl = _shift_sample_per_plane(pfr, shift_l)
+    pfrl = _shift_sample_per_plane(pfr, shift_l, pallas_spec)
     pfrl = nn.softmax(pfrl, axis=-1)
     o_fr = jnp.sum(
-        _shift_sample_per_plane(pfrl, shift_r), axis=-1, keepdims=True
+        _shift_sample_per_plane(pfrl, shift_r, pallas_spec), axis=-1, keepdims=True
     )
     o_fr = jnp.minimum(o_fr, 1.0)
 
@@ -111,7 +124,7 @@ def generate_post_process_disp(
     disp_pp = disp_pp * o_l + flip_w(disp[B:]) * (1.0 - o_l)
 
     mask_novel = jnp.sum(
-        _shift_sample_per_plane(prob[:B], shift_r), axis=-1, keepdims=True
+        _shift_sample_per_plane(prob[:B], shift_r, pallas_spec), axis=-1, keepdims=True
     )
     mask_novel = jnp.minimum(mask_novel, 1.0)
     return jax.lax.stop_gradient(disp_pp), jax.lax.stop_gradient(mask_novel)
@@ -120,6 +133,7 @@ def generate_post_process_disp(
 def mirror_occlusion_mask(
     outputs: Dict[str, jnp.ndarray],
     rec: Dict,
+    pallas_spec=None,
 ) -> jnp.ndarray:
     """Mirror occlusion mask under flip_right doubling
     (reference trainer.py:636-669, with the undefined-grid bug repaired).
@@ -139,12 +153,12 @@ def mirror_occlusion_mask(
     shift_r = disp_layered[:B]
     shift_l = -disp_layered[:B]
 
-    o_r_a = jnp.sum(_shift_sample_per_plane(pll, shift_r), -1, keepdims=True)
-    o_r_b = jnp.sum(_shift_sample_per_plane(prl, shift_r), -1, keepdims=True)
+    o_r_a = jnp.sum(_shift_sample_per_plane(pll, shift_r, pallas_spec), -1, keepdims=True)
+    o_r_b = jnp.sum(_shift_sample_per_plane(prl, shift_r, pallas_spec), -1, keepdims=True)
     o_r = jnp.minimum(o_r_a * o_r_b, 1.0)
 
-    o_l_a = jnp.sum(_shift_sample_per_plane(prr, shift_l), -1, keepdims=True)
-    o_l_b = jnp.sum(_shift_sample_per_plane(plr, shift_l), -1, keepdims=True)
+    o_l_a = jnp.sum(_shift_sample_per_plane(prr, shift_l, pallas_spec), -1, keepdims=True)
+    o_l_b = jnp.sum(_shift_sample_per_plane(plr, shift_l, pallas_spec), -1, keepdims=True)
     o_l = jnp.minimum(o_l_a * o_l_b, 1.0)
 
     mask = jnp.concatenate([o_r, flip_w(o_l)], axis=0)

@@ -178,6 +178,16 @@ def process_batch(
     Returns (losses, outputs, new_batch_stats).
     """
     cfg = bundle.cfg
+    # stop-gradient warps (teacher disp_pp, mirror occlusion masks) route
+    # through the fused Pallas sampler on TPU — XLA lane gathers lower to
+    # near-scalar code there (ops/pallas_shift.py); CPU keeps XLA gathers
+    pallas_spec = None
+    if jax.default_backend() == "tpu" and cfg.model.planes.yz_levels == 0:
+        pallas_spec = (
+            int(cfg.model.planes.disp_max * 1.08) + 4,
+            cfg.model.planes.disp_levels,
+            False,
+        )
 
     if cfg.flip_right:
         batch = add_flip_right_inputs(batch, cfg.novel_frame_ids)
@@ -205,7 +215,7 @@ def process_batch(
 
         disp_pp, mask_novel = generate_post_process_disp(
             teacher_apply, batch["color_aug_l"], batch["grid"],
-            cfg.model.num_ep,
+            cfg.model.num_ep, pallas_spec=pallas_spec,
         )
         # teacher ran on [x, flip(x)]: tile to the flip-doubled batch
         if cfg.flip_right:
@@ -255,7 +265,9 @@ def process_batch(
         )
         if cfg.loss.use_mom and cfg.flip_right:
             outputs = dict(outputs)
-            outputs["mask_novel"] = mirror_occlusion_mask(outputs, rec)
+            outputs["mask_novel"] = mirror_occlusion_mask(
+                outputs, rec, pallas_spec=pallas_spec
+            )
         if cfg.loss.alpha_self > 0.0:
             for side in cfg.target_sides:
                 if side == "r":
