@@ -123,13 +123,18 @@ def run_bench(per_step_batch: int, remat: bool = False,
 
 
 # (per_step_batch, remat, remat_warp, fused, label) — best-first on v5e,
-# later rungs are fallbacks for smaller-HBM parts.  Measured on v5e
-# (15.75G HBM): b1_remat 316 imgs/s, b1_plain 226 imgs/s; per-step batch 2
-# OOMs even with remat.
+# later rungs are OOM fallbacks for smaller-HBM parts.
+#
+# TRUE-sync measurements on v5e (15.75G HBM), 2026-08-16:
+#   b4_fused 12.1 imgs/s | b2_fused 8.8 | b1_fused 8.0
+#   b1_plain 0.072 | b1_remat 0.060   <- XLA lane gathers are near-scalar
+#   on TPU; the XLA-gather "oracle" path is ~100x slower than the fused
+#   Pallas sweep and OOMs at per-step batch 2, where fused fits batch 4.
 LADDER = (
-    (1, True, True, False, "b1_remat"),
-    (1, False, False, False, "b1_plain"),
+    (4, False, False, True, "b4_fused"),
+    (2, False, False, True, "b2_fused"),
     (1, False, False, True, "b1_fused"),
+    (1, True, True, False, "b1_remat"),
 )
 
 

@@ -148,23 +148,22 @@ class TrainConfig:
     mesh_shape: Tuple[int, ...] = ()   # () => use all devices on 1-D 'data' axis
     bf16: bool = True                  # bfloat16 activations on TPU
     # sample the warped plane stacks in bfloat16 (halves their HBM
-    # footprint; measured SLOWER on v5e — sub-word gather/scatter cost —
-    # so off by default; enable when memory-bound)
+    # footprint on the XLA-gather path)
     warp_sample_bf16: bool = False
     # rematerialize the view-synthesis + loss segment in the backward pass:
-    # the (B, N, H, W, C) plane stacks are never stored between fwd and bwd,
-    # trading ~0.2 ms of recompute for the dominant activation footprint
+    # the (B, N, H, W, C) plane stacks are never stored between fwd and bwd
+    # (XLA-gather path only)
     remat_warp: bool = False
-    # use the row-constant custom-VJP warp (ops/rowshift.py); measured
-    # slower than XLA autodiff on v5e, may win elsewhere
+    # use the row-constant custom-VJP warp (ops/rowshift.py) on the
+    # XLA-gather path (scatter-free backward)
     rowshift_warp: bool = False
     # fused Pallas plane-sweep (ops/pallas_sweep.py) for the stereo
     # disp_warp + mixture-loss hot path: no warped plane stacks or gather
-    # index arrays ever materialize (activation memory ~N x smaller).  On
-    # v5e the hand-rolled backward is slower than XLA's gather/scatter
-    # autodiff (90 ms vs ~6 ms at HR batch 8), so the oracle is the default
-    # and this is the memory-bound escape hatch for batch sizes whose
-    # stacks exceed HBM.
+    # index arrays ever materialize (activation memory ~N x smaller) AND
+    # no XLA lane gathers, which lower to near-scalar code on TPU.  The
+    # stage presets enable this; it is THE production path on TPU.
+    # (Round-1 notes claiming the XLA gather path was faster were artifacts
+    # of async-dispatch timing — see bench.py's methodology note.)
     fused_sweep: bool = False
 
     def __post_init__(self):
@@ -252,6 +251,7 @@ def stage1_config(**overrides) -> TrainConfig:
     """Stage 1: 640x192 stereo, 50 epochs, full feature set."""
     cfg = TrainConfig(
         model_name="stage1",
+        fused_sweep=True,
         flip_right=True,
         batch_size=8,
         data=DataConfig(height=192, width=640, split="eigen_full_left"),
@@ -264,6 +264,7 @@ def hr_finetune_config(**overrides) -> TrainConfig:
     """Stage 2: 1280x384 high-resolution finetune, 1 epoch, lr 2.5e-5."""
     cfg = TrainConfig(
         model_name="hr_finetune",
+        fused_sweep=True,
         flip_right=True,
         batch_size=8,
         data=DataConfig(height=384, width=1280, split="eigen_full_left",
@@ -283,6 +284,7 @@ def self_distillation_config(**overrides) -> TrainConfig:
     """
     cfg = TrainConfig(
         model_name="self_distillation",
+        fused_sweep=True,
         batch_size=4,
         loss=LossConfig(self_distillation=1.0),
         data=DataConfig(height=384, width=1280, split="eigen_full_left",
