@@ -22,9 +22,22 @@ def upsample2x_nearest(x: jnp.ndarray) -> jnp.ndarray:
 
 def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
     """Nearest resize to ``size=(Ho, Wo)`` matching torch F.interpolate
-    (mode='nearest'): src = floor(dst * scale)."""
+    (mode='nearest'): src = floor(dst * scale).
+
+    Fast paths avoid XLA gathers, which lower to near-scalar code on the
+    TPU lane dimension: identity resize is a no-op and integer upscales
+    are broadcast+reshape (floor(d * H/Ho) == d // k for Ho = k*H).
+    """
     B, H, W, C = x.shape
     Ho, Wo = size
+    if (Ho, Wo) == (H, W):
+        return x
+    if Ho % H == 0 and Wo % W == 0:
+        ky, kx = Ho // H, Wo // W
+        out = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (B, H, ky, W, kx, C)
+        )
+        return out.reshape(B, Ho, Wo, C)
     iy = jnp.floor(jnp.arange(Ho) * (H / Ho)).astype(jnp.int32)
     ix = jnp.floor(jnp.arange(Wo) * (W / Wo)).astype(jnp.int32)
     return x[:, iy][:, :, ix]
