@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -212,9 +213,35 @@ class DepthDecoder(nn.Module):
             probability = mixture_reweight(probability, sigma, vol.padding_mask)
 
         outputs["probability"] = probability
-        outputs["disp"] = jnp.sum(
-            probability * vol.disp_layered, axis=-1, keepdims=True
+        fused_head = (
+            self.use_mixture_loss
+            and not self.render_probability
+            and cfg.yz_levels == 0
+            and jax.default_backend() == "tpu"
         )
+        if fused_head:
+            # one streaming Pallas pass (softmax + mixture reweight +
+            # contraction, hand VJP) — lets XLA dead-code the f32
+            # probability chain whenever nothing else consumes it
+            # (ops/pallas_disp.py)
+            from planedepth_tpu.ops.pallas_disp import disp_head
+
+            outputs["disp"] = disp_head(
+                logits, sigma, vol.disp_layered[:, :, 0, :],
+                vol.padding_mask[:, :, 0, :],
+            )
+        elif cfg.yz_levels == 0:
+            # disparities are constant along each row: contract against the
+            # (B, H, 1, N) slice so the full (B, H, W, N) disp_layered never
+            # needs to materialize for this product (XLA fuses the broadcast)
+            outputs["disp"] = jnp.sum(
+                probability * vol.disp_layered[:, :, :1, :],
+                axis=-1, keepdims=True,
+            )
+        else:
+            outputs["disp"] = jnp.sum(
+                probability * vol.disp_layered, axis=-1, keepdims=True
+            )
         outputs["depth"] = disp_to_depth(outputs["disp"], W)
         return outputs
 
