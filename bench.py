@@ -83,15 +83,15 @@ def run_bench(per_step_batch: int, remat: bool = False,
         for k, v in make_stereo_batch(per_step_batch, H, W, seed=0).items()
     }
     rng = jax.random.PRNGKey(0)
-    step = jax.jit(make_train_step(bundle, tx), donate_argnums=(0,))
 
-    # compiled-step FLOPs for MFU (XLA cost analysis; 0 when unavailable)
+    # compile ONCE (TPU compiles are 15-40 min through the relay) and reuse
+    # the executable for both the cost analysis and the timed steps
+    step = jax.jit(
+        make_train_step(bundle, tx), donate_argnums=(0,)
+    ).lower(state, batch, rng).compile()
     flops = 0.0
     try:
-        lowered = jax.jit(
-            make_train_step(bundle, tx), donate_argnums=(0,)
-        ).lower(state, batch, rng)
-        cost = lowered.compile().cost_analysis()
+        cost = step.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = float(cost.get("flops", 0.0))
