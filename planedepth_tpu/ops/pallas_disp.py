@@ -33,8 +33,8 @@ EPS = 1e-7
 
 
 def _row_col(ref, n, R):
-    """(R, 1) column from R SMEM scalars of plane n."""
-    return jnp.stack([ref[n, r] for r in range(R)]).reshape(R, 1)
+    """(R, 1) column from R SMEM scalars of plane n (ref block (R, N))."""
+    return jnp.stack([ref[r, n] for r in range(R)]).reshape(R, 1)
 
 
 def _disp_fwd_kernel(mask_ref, drows_ref, log_ref, sig_ref, disp_ref,
@@ -122,15 +122,14 @@ def _prep(logits, sigma, disp_rows, mask_rows, rows):
     assert H % R == 0, (H, R)
     log_t = jnp.moveaxis(logits, -1, 1)                   # (B, N, H, W)
     sig_t = jnp.moveaxis(sigma, -1, 1)
-    drows = jnp.moveaxis(disp_rows, -1, 1)                # (B, N, H)
-    mrows = jnp.moveaxis(mask_rows, -1, 1)
-    return log_t, sig_t, drows, mrows, B, H, W, N
+    # row metadata stays (B, H, N): SMEM blocks must keep the last axis full
+    return log_t, sig_t, disp_rows, mask_rows, B, H, W, N
 
 
 def _common_specs(N, R, W):
     vol = pl.BlockSpec((None, N, R, W), lambda b, h: (b, 0, h, 0),
                        memory_space=pltpu.VMEM)
-    rows_spec = pl.BlockSpec((None, N, R), lambda b, h: (b, 0, h),
+    rows_spec = pl.BlockSpec((None, R, N), lambda b, h: (b, h, 0),
                              memory_space=pltpu.SMEM)
     return vol, rows_spec
 
