@@ -27,14 +27,24 @@ from planedepth_tpu.train import (
 from planedepth_tpu.train.step import process_batch
 
 
-def timeit(fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+def _sync(out):
+    """True barrier: host readback of one leaf (block_until_ready returns
+    early on relayed backends — see bench.py methodology note)."""
+    jax.device_get(jax.tree_util.tree_leaves(out)[0])
+
+
+def timeit(fn, *args, n=6):
+    """Slope timing: (t(1+n) - t(1)) / n cancels the fixed sync cost."""
+    def run(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = fn(*args)
+        _sync(out)
+        return time.perf_counter() - t0
+    run(1)                       # compile + warm
+    a, b = run(1), run(1 + n)
+    return (b - a) / n
 
 
 def main():
@@ -125,15 +135,18 @@ def main():
         step = jax.jit(make_train_step(bundle, tx), donate_argnums=(0,))
         rng_ = rng
         state_, m = step(state, batch, rng_)
-        jax.block_until_ready(m["loss/total_loss"])
-        import time as _t
+        _sync(m["loss/total_loss"])
 
-        n = 10
-        t0 = _t.perf_counter()
-        for _ in range(n):
-            state_, m = step(state_, batch, rng_)
-        jax.block_until_ready(m["loss/total_loss"])
-        t = (_t.perf_counter() - t0) / n
+        def run_steps(k, st):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                st, mm = step(st, batch, rng_)
+            _sync(mm["loss/total_loss"])
+            return time.perf_counter() - t0, st
+
+        a, state_ = run_steps(2, state_)
+        b, state_ = run_steps(10, state_)
+        t = (b - a) / 8
         print(f"train step (donated): {t*1e3:8.2f} ms ({pb/t:.2f} imgs/s)")
     if variant == "opt_only":
         # optimizer update alone on a grad-shaped pytree
@@ -148,15 +161,18 @@ def main():
             return new_opt, new_params
 
         o, p = opt_step(state.opt_state, state.params, grads)
-        jax.block_until_ready(jax.tree_util.tree_leaves(p)[0])
-        import time as _t
+        _sync(p)
 
-        n = 20
-        t0 = _t.perf_counter()
-        for _ in range(n):
-            o, p = opt_step(o, p, grads)
-        jax.block_until_ready(jax.tree_util.tree_leaves(p)[0])
-        print(f"adam update only    : {(_t.perf_counter()-t0)/n*1e3:8.2f} ms")
+        def run_opt(k, o, p):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                o, p = opt_step(o, p, grads)
+            _sync(p)
+            return time.perf_counter() - t0, o, p
+
+        a, o, p = run_opt(2, o, p)
+        b, o, p = run_opt(12, o, p)
+        print(f"adam update only    : {(b-a)/10*1e3:8.2f} ms")
     if variant in ("all", "fwd"):
         t = timeit(fwd_only, state, batch)
         print(f"forward only        : {t*1e3:8.2f} ms")
