@@ -47,7 +47,7 @@ def _enable_compile_cache():
 
 def run_bench(per_step_batch: int, remat: bool = False,
               remat_warp: bool = False, fused: bool = False,
-              n_timed: int = 10):
+              n_timed: int = 10, alpha_pc: float = 0.0):
     import jax
 
     _enable_compile_cache()
@@ -65,7 +65,11 @@ def run_bench(per_step_batch: int, remat: bool = False,
         batch_size=2 * per_step_batch,
         flip_right=True,
         model=ModelConfig(net_type="ResNet", num_layers=50, remat=remat),
-        loss=LossConfig(alpha_pc=0.0),   # perceptual net needs ImageNet
+        # alpha_pc=0.1 is the reference's DEFAULT stage-1 recipe
+        # (options.py:70-73; trainer.py:672-685 runs 2-3 VGG19 forwards
+        # per side every step).  allow_random_pc uses a random-weight
+        # VGG19 — identical FLOP/memory cost to the ImageNet one.
+        loss=LossConfig(alpha_pc=alpha_pc),
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=True,
@@ -125,27 +129,35 @@ def run_bench(per_step_batch: int, remat: bool = False,
 # (per_step_batch, remat, remat_warp, fused, label) — best-first on v5e,
 # later rungs are OOM fallbacks for smaller-HBM parts.
 #
-# TRUE-sync measurements on v5e (15.75G HBM), 2026-08-16:
-#   b4_fused 12.1 imgs/s | b2_fused 8.8 | b1_fused 8.0
+# TRUE-sync measurements on v5e (15.75G HBM):
+#   r2 (2026-08-16): b4_fused 12.0 imgs/s | b2 8.8 | b1 8.0;
 #   b1_plain 0.072 | b1_remat 0.060   <- XLA lane gathers are near-scalar
 #   on TPU; the XLA-gather "oracle" path is ~100x slower than the fused
 #   Pallas sweep and OOMs at per-step batch 2, where fused fits batch 4.
+#   r3: bf16 heads + image_grads-off freed HBM — b8 tried first.
 LADDER = (
+    (8, False, False, True, "b8_fused"),
     (4, False, False, True, "b4_fused"),
     (2, False, False, True, "b2_fused"),
-    (1, False, False, True, "b1_fused"),
     (1, True, True, False, "b1_remat"),
 )
+
+# The PRIMARY metric is the reference's full default stage-1 recipe
+# (alpha_pc=0.1: VGG19 perceptual forwards every step).  The pc-off rate
+# is reported as a secondary field for continuity with BENCH_r02.
+ALPHA_PC_FULL = 0.1
 
 
 def main():
     # manual mode: bench.py <per_step_batch> [remat] [remat_warp] [fused]
+    # [pc] — single rung, JSON to stdout
     if len(sys.argv) > 1:
         pb = int(sys.argv[1])
         opts = set(sys.argv[2:])
         imgs_per_sec, loss, mfu = run_bench(
             pb, remat="remat" in opts, remat_warp="remat_warp" in opts,
             fused="fused" in opts,
+            alpha_pc=ALPHA_PC_FULL if "pc" in opts else 0.0,
         )
         print(json.dumps({
             "metric": "train_imgs_per_sec_per_chip_1280x384",
@@ -162,9 +174,10 @@ def main():
     for pb, remat, remat_warp, fused, label in LADDER:
         try:
             imgs_per_sec, loss, mfu = run_bench(
-                pb, remat=remat, remat_warp=remat_warp, fused=fused
+                pb, remat=remat, remat_warp=remat_warp, fused=fused,
+                alpha_pc=ALPHA_PC_FULL,
             )
-            print(json.dumps({
+            result = {
                 "metric": "train_imgs_per_sec_per_chip_1280x384",
                 "value": round(imgs_per_sec, 3),
                 "unit": "imgs/s/chip",
@@ -173,9 +186,20 @@ def main():
                 ),
                 "rung": label,
                 "mfu": round(mfu, 4),
+                "recipe": "full stage-1 (alpha_pc=0.1, random-weight VGG19 "
+                          "= identical FLOPs to ImageNet)",
                 "methodology": "slope of true-sync (device_get) timings; "
                                "pre-r2 numbers measured dispatch only",
-            }))
+            }
+            try:
+                pc_off, _, _ = run_bench(
+                    pb, remat=remat, remat_warp=remat_warp, fused=fused,
+                    alpha_pc=0.0,
+                )
+                result["imgs_per_sec_pc_off"] = round(pc_off, 3)
+            except Exception:
+                pass
+            print(json.dumps(result))
             return
         except Exception as e:  # OOM at this rung: fall back
             last_err = e

@@ -51,6 +51,19 @@ class ModelConfig:
     # rematerialize encoder residual blocks in the backward pass (trade
     # ~30% backward FLOPs for the conv activation footprint at HR)
     remat: bool = False
+    # fused Pallas expected-disparity head (ops/pallas_disp.py):
+    # "auto" = on TPU backends, "off" = always XLA chain,
+    # "interpret" = force the kernel in interpret mode (CPU mesh tests)
+    fused_head: str = "auto"
+    # keep the plane heads (logits/sigma) in the compute dtype during
+    # training instead of f32 — set by ModelBundle when the fused Pallas
+    # loss path is active (the kernels upcast in VMEM; f32 would only add
+    # ~2 GB of HBM tensors + transposes per HR step)
+    fused_head_bf16: bool = False
+    # space-to-depth decoder tail (models/s2d.py): run the finest decoder
+    # scale phase-packed so no (H, W, 16) tensor — 8x lane-padded on TPU —
+    # ever materializes.  "auto" = TPU backends, "on"/"off" force.
+    s2d_tail: str = "auto"
     planes: PlaneConfig = field(default_factory=PlaneConfig)
     # Pose network (only built when novel_frame_ids non-empty and not colmap,
     # reference trainer.py:92-94)
@@ -87,7 +100,10 @@ class DataConfig:
     no_crop: bool = False           # disables RandomResizeCrop
     use_colmap: bool = False
     colmap_path: str = "./kitti_colmap"
-    num_workers: int = 4
+    # loader decode threads (reference uses 12 worker processes,
+    # options.py:217-220; PIL/np release the GIL so threads scale on a
+    # real TPU-VM host — see tests/test_loader_throughput.py)
+    num_workers: int = 12
     # aug ranges (reference: datasets/mono_dataset.py:77-87)
     crop_factor: Tuple[float, float] = (0.75, 1.5)
     gamma_range: Tuple[float, float] = (0.8, 1.2)

@@ -122,6 +122,9 @@ class DepthDecoder(nn.Module):
     use_mixture_loss: bool = True
     render_probability: bool = False
     plane_residual: bool = True
+    fused_head: str = "auto"        # auto | off | interpret
+    fused_head_bf16: bool = False   # bf16 heads in train (fused loss path)
+    s2d_tail: str = "auto"          # auto | on | off (models/s2d.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -143,30 +146,74 @@ class DepthDecoder(nn.Module):
             else:
                 grid_ep = frequency_embed(grid, self.num_ep).astype(self.dtype)
 
+        # TPU layout surgery: run the finest scale in space-to-depth form
+        # (models/s2d.py) so no (H, W, 16) tensor — which XLA stores with
+        # an 8x lane-padded layout — ever materializes
+        use_s2d = (
+            self.s2d_tail == "on"
+            or (self.s2d_tail == "auto" and jax.default_backend() == "tpu")
+        ) and grid.shape[1] % 4 == 0 and grid.shape[2] % 4 == 0
+
         x = input_features[-1].astype(self.dtype)
         x = inject_grid(x, grid_ep)
-        for i in range(4, -1, -1):
+        z4 = None
+        for i in range(4, 0, -1):
             x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
                           name=f"upconv_{i}_0")(x)
             x = upsample2x_nearest(x)
-            if self.use_skips and i > 0:
+            if self.use_skips:
                 x = jnp.concatenate(
                     [x, input_features[i - 1].astype(self.dtype)], axis=-1
                 )
-            if i > 0:
-                x = inject_grid(x, grid_ep)
+            x = inject_grid(x, grid_ep)
             x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
                           name=f"upconv_{i}_1")(x)
             if i == 4 and self.use_denseaspp:
                 x = DenseAspp(dtype=self.dtype, name="denseaspp")(x, train)
 
-        B, H, W, _ = x.shape
+        cin_00 = x.shape[-1]
+        if use_s2d:
+            from planedepth_tpu.models import s2d
+
+            k0, b0 = s2d.ConvBlockParams(
+                NUM_CH_DEC[0], cin_00, name="upconv_0_0")()
+            k1, b1 = s2d.ConvBlockParams(
+                NUM_CH_DEC[0], NUM_CH_DEC[0], name="upconv_0_1")()
+            x1q = s2d.space_to_depth(x)            # (B, H/4, W/4, 4*cin)
+            y4q = nn.elu(s2d.conv_valid(
+                s2d.phase_pad(x1q, "reflect"), s2d.s2d_conv_kernel(k0),
+                s2d.tile_bias(b0), self.dtype,
+            ))                                     # s2d^2 of y (16ch full/2)
+            zq = nn.elu(s2d.conv_valid(
+                s2d.phase_pad(y4q, "edge"),
+                s2d.s2d_conv_kernel(s2d.upsample_fuse_kernel(k1)),
+                s2d.tile_bias(s2d.tile_bias(b1)), self.dtype,
+            ))                                     # s2d^2 of z (16ch full)
+            z4 = s2d.depth_to_space(zq)            # (B, H/2, W/2, 64)
+            x = None
+        else:
+            x = ConvBlock(NUM_CH_DEC[0], dtype=self.dtype,
+                          name="upconv_0_0")(x)
+            x = upsample2x_nearest(x)
+            x = ConvBlock(NUM_CH_DEC[0], dtype=self.dtype,
+                          name="upconv_0_1")(x)
+
+        B, H, W = grid.shape[0], grid.shape[1], grid.shape[2]
         outputs: Dict[str, jnp.ndarray] = {}
 
         residual_levels = None
         if self.plane_residual:
+            if use_s2d:
+                # global mean commutes with the (linear) 1x1 convs: pool
+                # the phase-packed z4 back to 16 channels first — exact
+                Bz, Hh, Wh, _ = z4.shape
+                r_in = z4.reshape(Bz, Hh, Wh, 4, NUM_CH_DEC[0]).mean(
+                    axis=(1, 2, 3), keepdims=False
+                )[:, None, None, :]
+            else:
+                r_in = x
             r = nn.Conv(NUM_CH_DEC[0], (1, 1), dtype=self.dtype,
-                        name="residualconv_0")(x)
+                        name="residualconv_0")(r_in)
             r = jnp.mean(r, axis=(1, 2), keepdims=True)   # AdaptiveAvgPool 1x1
             r = nn.Conv(all_levels, (1, 1), dtype=self.dtype,
                         name="residualconv_1")(r)
@@ -186,9 +233,41 @@ class DepthDecoder(nn.Module):
             # enables the scatter-free warp path (ops/rowshift.py)
             outputs["disp_rows"] = vol.disp_layered[:, :, 0, :]
 
+        fused_head = (
+            self.use_mixture_loss
+            and not self.render_probability
+            and cfg.yz_levels == 0
+            and (
+                self.fused_head == "interpret"
+                or (self.fused_head == "auto"
+                    and jax.default_backend() == "tpu")
+            )
+        )
+        # Fused TRAINING path: keep the plane heads in the compute dtype
+        # (bf16) — the Pallas kernels upcast per-block in VMEM, so f32
+        # materialization of the (B, H, W, N) tensors would only add two
+        # ~1 GB HBM tensors + transposes per step (PERF_NOTES.md r3).
+        # Eval keeps f32 heads: val metrics read `disp` directly and bf16
+        # quantization of logits (~0.4% rel) would leak into abs_rel.
+        head_f32 = not (fused_head and self.fused_head_bf16 and train)
+
+        def head_conv(features: int, name: str) -> jnp.ndarray:
+            """Full-res 3x3 head conv, on x or (s2d path) on z4."""
+            if not use_s2d:
+                return Conv3x3(features, dtype=self.dtype, name=name)(x)
+            from planedepth_tpu.models import s2d
+
+            kh, bh = s2d.Conv3x3Params(features, NUM_CH_DEC[0], name=name)()
+            out4 = s2d.conv_valid(
+                s2d.phase_pad(z4, "reflect"), s2d.s2d_conv_kernel(kh),
+                s2d.tile_bias(bh), self.dtype,
+            )
+            return s2d.depth_to_space(out4)        # (B, H, W, features)
+
         n_logits = all_levels - 1 if self.render_probability else all_levels
-        logits = Conv3x3(n_logits, dtype=self.dtype, name="dispconv")(x)
-        logits = logits.astype(jnp.float32)
+        logits = head_conv(n_logits, "dispconv")
+        if head_f32:
+            logits = logits.astype(jnp.float32)
         if self.render_probability:
             logits = logits * vol.padding_mask[..., : all_levels - 1]
             dists = plane_dists(vol.disp_layered, W, H)
@@ -198,35 +277,38 @@ class DepthDecoder(nn.Module):
                 [logits, jnp.ones_like(logits[..., :1])], axis=-1
             )
         else:
-            logits = logits * vol.padding_mask
-            probability = nn.softmax(logits, axis=-1)
+            logits = logits * vol.padding_mask.astype(logits.dtype)
+            probability = nn.softmax(logits.astype(jnp.float32), axis=-1)
         outputs["logits"] = logits
 
         if self.use_mixture_loss:
-            sigma = nn.sigmoid(
-                Conv3x3(all_levels, dtype=self.dtype, name="sigmaconv")(x)
-                .astype(jnp.float32)
-            )
-            sigma = jnp.clip(sigma, 0.01, 1.0)
+            sigma_raw = head_conv(all_levels, "sigmaconv")
+            if head_f32:
+                sigma_raw = sigma_raw.astype(jnp.float32)
+            sigma = jnp.clip(nn.sigmoid(sigma_raw), 0.01, 1.0)
             outputs["sigma"] = sigma
             outputs["pi"] = probability
-            probability = mixture_reweight(probability, sigma, vol.padding_mask)
+            probability = mixture_reweight(
+                probability, sigma.astype(jnp.float32), vol.padding_mask
+            )
 
         outputs["probability"] = probability
-        fused_head = (
-            self.use_mixture_loss
-            and not self.render_probability
-            and cfg.yz_levels == 0
-            and jax.default_backend() == "tpu"
-        )
         if fused_head:
             # one streaming Pallas pass (softmax + mixture reweight +
             # contraction, hand VJP) — lets XLA dead-code the f32
             # probability chain whenever nothing else consumes it
-            # (ops/pallas_disp.py)
+            # (ops/pallas_disp.py).  shard_kernel partitions the call over
+            # the ambient GSPMD mesh (parallel/shard.py).
             from planedepth_tpu.ops.pallas_disp import disp_head
+            from planedepth_tpu.parallel.shard import shard_kernel
 
-            outputs["disp"] = disp_head(
+            interpret = self.fused_head == "interpret"
+            head = shard_kernel(
+                lambda lg, sg, dr, mr: disp_head(lg, sg, dr, mr, interpret),
+                in_rows=(1, 1, 1, 1),
+                out_rows=(1,),
+            )
+            outputs["disp"] = head(
                 logits, sigma, vol.disp_layered[:, :, 0, :],
                 vol.padding_mask[:, :, 0, :],
             )

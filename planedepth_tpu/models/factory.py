@@ -44,6 +44,9 @@ class DepthModel(nn.Module):
                 use_mixture_loss=c.use_mixture_loss,
                 render_probability=c.render_probability,
                 plane_residual=c.plane_residual,
+                fused_head=c.fused_head,
+                fused_head_bf16=c.fused_head_bf16,
+                s2d_tail=c.s2d_tail,
                 dtype=self.dtype,
                 name="depth",
             )(features, grid, train)

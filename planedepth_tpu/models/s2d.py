@@ -1,0 +1,204 @@
+"""Space-to-depth decoder tail: TPU layout surgery for small-C conv stages.
+
+Problem (PERF_NOTES.md r3): XLA stores the decoder's full-resolution
+C=16 NHWC tensors with layout {3,0,2,1} — C on the 128-wide lane
+dimension — an **8x physical padding**.  Every conv, ELU, reflection pad
+and their adjoints in the finest two scales then move 8x their useful
+bytes; the r3 trace attributes ~100 ms/step of the 335 ms HR step to
+these stages.
+
+Fix: never materialize the fine scales in (H, W, smallC) form.  Express
+the exact same convolutions on phase-packed space-to-depth tensors whose
+channel counts are lane-sized:
+
+    x1   (B, H/2, W/2,  32)  -> s2d ->  (B, H/4, W/4, 128)
+    upconv_0_0 (3x3, 32->16, reflect) == quarter-res conv (3,3,128,64)
+    upsample2x + upconv_0_1 (3x3, 16->16, reflect)
+                             == quarter-res conv (3,3,64,256)
+    d2s one level ->  z4 (B, H/2, W/2, 64)   [= s2d of the full-res z]
+    dispconv / sigmaconv (3x3, 16->N, reflect)
+                             == half-res conv (3,3,64,4N) -> d2s -> (B,H,W,N)
+    residualconv: global mean commutes with the 1x1 convs (exact).
+
+The transformed kernels are *derived from the canonical parameters* with
+pure jnp scatter/adds, so the parameter tree (and checkpoints / torch
+weight conversion) is unchanged and gradients flow back to the canonical
+kernels through the transforms.  Equivalence is exact up to fp
+reassociation (tap sums for the upsample collapse); the boundary
+behavior of each level's reflect/edge padding is reproduced by
+phase-aware pads (see :func:`phase_pad`).
+
+Reference hot path being optimized: networks/depth_decoder.py:120-147.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+DN = ("NHWC", "HWIO", "NHWC")
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channels phase-major (py, px, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    B, Hh, Wh, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, Hh, Wh, 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, 2 * Hh, 2 * Wh, C)
+
+
+def upsample_fuse_kernel(K: jnp.ndarray) -> jnp.ndarray:
+    """Fuse nearest-x2 upsample into a 3x3 conv.
+
+    A stride-1 3x3 conv applied AFTER ``upsample2x_nearest`` reads each
+    low-res pixel through repeated taps; collapsing them yields an
+    equivalent conv on the LOW-res tensor emitting the 4 output phases:
+    (3, 3, Cin, Cout) -> (3, 3, Cin, 4*Cout), phase-major outputs.
+    """
+    Cin, Cout = K.shape[2], K.shape[3]
+    out = jnp.zeros((3, 3, Cin, 4, Cout), K.dtype)
+    for py in range(2):
+        for px in range(2):
+            p = py * 2 + px
+            for dy in range(-1, 2):
+                ay = (py + dy) // 2          # floor division
+                for dx in range(-1, 2):
+                    ax = (px + dx) // 2
+                    out = out.at[ay + 1, ax + 1, :, p, :].add(
+                        K[dy + 1, dx + 1]
+                    )
+    return out.reshape(3, 3, Cin, 4 * Cout)
+
+
+def s2d_conv_kernel(K: jnp.ndarray) -> jnp.ndarray:
+    """Express a stride-1 3x3 conv one s2d level down.
+
+    (3, 3, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout): output phase q reads
+    input phase (q+d) mod 2 at packed offset floor((q+d)/2).  75%
+    structural zeros (each (q, d) pair maps to exactly one (a, p_in)).
+    """
+    Cin, Cout = K.shape[2], K.shape[3]
+    out = jnp.zeros((3, 3, 2, 2, Cin, 4, Cout), K.dtype)
+    for qy in range(2):
+        for qx in range(2):
+            q = qy * 2 + qx
+            for dy in range(-1, 2):
+                ay, piny = (qy + dy) // 2, (qy + dy) % 2
+                for dx in range(-1, 2):
+                    ax, pinx = (qx + dx) // 2, (qx + dx) % 2
+                    out = out.at[ay + 1, ax + 1, piny, pinx, :, q, :].add(
+                        K[dy + 1, dx + 1]
+                    )
+    return out.reshape(3, 3, 4 * Cin, 4 * Cout)
+
+
+def tile_bias(b: jnp.ndarray) -> jnp.ndarray:
+    """Bias for phase-major packed outputs: every phase uses the same b."""
+    return jnp.tile(b, 4)
+
+
+def _pad_rows(x: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Phase-aware 1-pixel row pad of a phase-packed tensor.
+
+    ``x`` is (B, Hq, Wq, 2, 2, C) (phases split out).  The pad row must
+    reproduce the UPPER level's 1-pixel boundary semantics:
+
+      * ``reflect``: level-up row -1 reflects to +1 = phase 1 of packed
+        row 0; level-up row S reflects to S-2 = phase 0 of the last
+        packed row.  (Only those phases are ever read by the conv.)
+      * ``edge``: level-up row -1 clamps to 0 = phase 0 of packed row 0;
+        level-up row S clamps to S-1 = phase 1 of the last packed row.
+    """
+    if mode == "reflect":
+        top_src, bot_src = x[:, :1, ..., 1, :, :], x[:, -1:, ..., 0, :, :]
+    else:
+        top_src, bot_src = x[:, :1, ..., 0, :, :], x[:, -1:, ..., 1, :, :]
+    # the unread phase slot is filled with the same row (don't-care)
+    top = jnp.stack([top_src, top_src], axis=-3)
+    bot = jnp.stack([bot_src, bot_src], axis=-3)
+    return jnp.concatenate([top, x, bot], axis=1)
+
+
+def phase_pad(x4: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """1-pixel spatial pad of a phase-packed (B, Hq, Wq, 4C) tensor that
+    reproduces ``reflect``/``edge`` 1-pixel padding of the UPPER level."""
+    B, Hq, Wq, C4 = x4.shape
+    C = C4 // 4
+    x = x4.reshape(B, Hq, Wq, 2, 2, C)
+    x = _pad_rows(x, mode)
+    # columns: same construction on the W axis / px phase
+    x = x.transpose(0, 2, 1, 4, 3, 5)          # swap (H,py) <-> (W,px)
+    x = _pad_rows(x, mode)
+    x = x.transpose(0, 2, 1, 4, 3, 5)
+    return x.reshape(B, Hq + 2, Wq + 2, C4)
+
+
+def conv_valid(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+               dtype) -> jnp.ndarray:
+    """VALID-padding NHWC conv in the compute dtype."""
+    y = lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=DN,
+    )
+    return y + bias.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Canonical-parameter mirrors.  The s2d tail needs the RAW 3x3 kernels of
+# upconv_0_0 / upconv_0_1 / dispconv / sigmaconv to derive the packed
+# kernels; these modules create parameters with EXACTLY the same paths,
+# shapes and initializers as the standard ConvBlock/Conv3x3 stacks
+# (models/layers.py) so checkpoints and init values are identical whether
+# the s2d tail is active or not (flax param rngs are path-derived).
+# ---------------------------------------------------------------------------
+import flax.linen as nn                                    # noqa: E402
+
+
+class ConvParams(nn.Module):
+    """Param twin of ``nn.Conv(features, (3, 3))``."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
+class Conv3x3Params(nn.Module):
+    """Param twin of ``layers.Conv3x3`` (child conv named 'conv')."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        return ConvParams(self.features, self.cin, name="conv")()
+
+
+class ConvBlockParams(nn.Module):
+    """Param twin of ``layers.ConvBlock`` (Conv3x3 named 'conv')."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        return Conv3x3Params(self.features, self.cin, name="conv")()

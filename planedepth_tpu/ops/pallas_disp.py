@@ -179,8 +179,10 @@ def disp_head_bwd(logits, sigma, disp_rows, mask_rows, g,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, N, H, W), F32),
-            jax.ShapeDtypeStruct((B, N, H, W), F32),
+            # gradients in the INPUT dtype (bf16 in the fused train path)
+            # — halves their HBM write + transpose-back traffic
+            jax.ShapeDtypeStruct((B, N, H, W), logits.dtype),
+            jax.ShapeDtypeStruct((B, N, H, W), sigma.dtype),
             jax.ShapeDtypeStruct((B, N, H, 128), F32),
         ],
         scratch_shapes=[pltpu.VMEM((N, R, W), F32)],

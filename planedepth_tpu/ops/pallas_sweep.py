@@ -23,8 +23,13 @@ Key design points (see pallas_guide.md):
     rgb, composite, and accumulate both mixture sums.
 
 The gradient is provided by :func:`fused_plane_sweep`'s custom VJP, whose
-backward recomputes through the same kernel-free XLA graph in plane CHUNKS
-(scan) so the adjoint never materializes the full stack either.
+backward is a second Pallas kernel (:func:`_bwd_kernel`) with the same
+slicing structure: it recomputes the forward samples into VMEM scratch
+(caching the interpolation tap differences, which make d/dshift free) and
+emits all five gradients scatter-free via reverse windows — the adjoint
+never materializes the plane stack either.  ``_sweep_bwd`` below is the
+kernel-free XLA twin of that adjoint, kept as the correctness oracle for
+tests.
 """
 from __future__ import annotations
 
@@ -39,8 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 
 
-def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
-                   R, W, pad):
+def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad):
     """Shared in-kernel sampling helpers.
 
     Two variants per quantity: ``*_vec`` exploits row-constant shifts
@@ -48,6 +52,10 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
     handles per-row shifts (ground planes).  All gathers are lane-aligned
     dynamic slices + dynamic lane rolls (Mosaic requires slice starts that
     are multiples of 128).
+
+    ``ls_ref`` is the INTERLEAVED plane-head buffer ``(2N, R, Wp)`` with
+    logits at ``2n`` and sigma at ``2n+1`` — one dynamic window + one roll
+    fetches both heads (halves the slicing work vs separate buffers).
     """
     WQ = W + 128
 
@@ -63,58 +71,65 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
     # both interpolation taps come from ONE dynamic roll: after rolling the
     # aligned window so column 0 = ref[start], tap0 = [:W] and
     # tap1 = [1:W+1] (start - q <= 127, so start - q + W + 1 <= WQ)
-    def window2_row(ref, pre, r, start):
+    def window2_ls_row(n, r, start):
         q, amt = roll_amt(start)
-        if pre is None:
-            win = ref[:, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
-            rolled = pltpu.roll(win, amt, axis=2)
-            return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
-        win = ref[pre, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
-        rolled = pltpu.roll(win, amt, axis=1)
-        return rolled[:, :W], rolled[:, 1 : W + 1]
+        win = ls_ref[pl.ds(2 * n, 2), pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
+        rolled = pltpu.roll(win, amt, axis=2)              # (2, 1, WQ)
+        return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
 
-    def window2_vec(ref, pre, start):
+    def window2_ls_vec(n, start):
         q, amt = roll_amt(start)
-        if pre is None:
-            win = ref[:, :, pl.ds(q, WQ)].astype(F32)      # (3, R, WQ)
-            rolled = pltpu.roll(win, amt, axis=2)
-            return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
-        win = ref[pre, :, pl.ds(q, WQ)].astype(F32)        # (R, WQ)
-        rolled = pltpu.roll(win, amt, axis=1)
-        return rolled[:, :W], rolled[:, 1 : W + 1]
+        win = ls_ref[pl.ds(2 * n, 2), :, pl.ds(q, WQ)].astype(F32)
+        rolled = pltpu.roll(win, amt, axis=2)              # (2, R, WQ)
+        return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
+
+    def window2_c_row(r, start):
+        q, amt = roll_amt(start)
+        win = src_ref[:, pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
+        rolled = pltpu.roll(win, amt, axis=2)              # (3, 1, WQ)
+        return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
+
+    def window2_c_vec(start):
+        q, amt = roll_amt(start)
+        win = src_ref[:, :, pl.ds(q, WQ)].astype(F32)      # (3, R, WQ)
+        rolled = pltpu.roll(win, amt, axis=2)
+        return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
+
+    def _ls_blend(t0, t1, f, m):
+        ls = (1.0 - f) * t0 + f * t1                       # (2, ., W)
+        l = ls[0] * m
+        s = jnp.clip(ls[1] * m, 0.01, 1.0)
+        return l, s
 
     def sample_ls_rows(n):
         l_rows, s_rows = [], []
         for r in range(R):
             p, f = taps(r, n)
             m = mask_ref[r, n]
-            l0, l1 = window2_row(log_ref, n, r, p)
-            s0, s1 = window2_row(sig_ref, n, r, p)
-            l_rows.append(((1.0 - f) * l0 + f * l1) * m)
-            s_rows.append(jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0))
+            t0, t1 = window2_ls_row(n, r, p)
+            l, s = _ls_blend(t0, t1, f, m)
+            l_rows.append(l)
+            s_rows.append(s)
         return (jnp.concatenate(l_rows, 0), jnp.concatenate(s_rows, 0))
 
     def sample_ls_vec(n):
         p, f = taps(0, n)
-        m = mask_ref[0, n]
-        l0, l1 = window2_vec(log_ref, n, p)
-        s0, s1 = window2_vec(sig_ref, n, p)
-        return (((1.0 - f) * l0 + f * l1) * m,
-                jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0))
+        t0, t1 = window2_ls_vec(n, p)
+        return _ls_blend(t0, t1, f, mask_ref[0, n])
 
     def sample_c_rows(n):
         rows_c = []
         for r in range(R):
             p, f = taps(r, n)
             m = mask_ref[r, n]
-            c0, c1 = window2_row(src_ref, None, r, p)
+            c0, c1 = window2_c_row(r, p)
             rows_c.append(((1.0 - f) * c0 + f * c1) * m)
         return jnp.concatenate(rows_c, axis=1)             # (3, R, W)
 
     def sample_c_vec(n):
         p, f = taps(0, n)
         m = mask_ref[0, n]
-        c0, c1 = window2_vec(src_ref, None, p)
+        c0, c1 = window2_c_vec(p)
         return ((1.0 - f) * c0 + f * c1) * m
 
     # --- diff variants (backward): also return masked tap differences -------
@@ -126,12 +141,13 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
         for r in range(R):
             p, f = taps(r, n)
             m = mask_ref[r, n]
-            l0, l1 = window2_row(log_ref, n, r, p)
-            s0, s1 = window2_row(sig_ref, n, r, p)
-            l_rows.append(((1.0 - f) * l0 + f * l1) * m)
-            s_rows.append(jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0))
-            ld_rows.append((l1 - l0) * m)
-            sd_rows.append((s1 - s0) * m)
+            t0, t1 = window2_ls_row(n, r, p)
+            l, s = _ls_blend(t0, t1, f, m)
+            d = (t1 - t0) * m
+            l_rows.append(l)
+            s_rows.append(s)
+            ld_rows.append(d[0])
+            sd_rows.append(d[1])
         return (
             jnp.concatenate(l_rows, 0), jnp.concatenate(s_rows, 0),
             jnp.concatenate(ld_rows, 0), jnp.concatenate(sd_rows, 0),
@@ -140,21 +156,17 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
     def sample_lsd_vec(n):
         p, f = taps(0, n)
         m = mask_ref[0, n]
-        l0, l1 = window2_vec(log_ref, n, p)
-        s0, s1 = window2_vec(sig_ref, n, p)
-        return (
-            ((1.0 - f) * l0 + f * l1) * m,
-            jnp.clip(((1.0 - f) * s0 + f * s1) * m, 0.01, 1.0),
-            (l1 - l0) * m,
-            (s1 - s0) * m,
-        )
+        t0, t1 = window2_ls_vec(n, p)
+        l, s = _ls_blend(t0, t1, f, m)
+        d = (t1 - t0) * m
+        return l, s, d[0], d[1]
 
     def sample_cd_rows(n):
         rows_c, rows_cd = [], []
         for r in range(R):
             p, f = taps(r, n)
             m = mask_ref[r, n]
-            c0, c1 = window2_row(src_ref, None, r, p)
+            c0, c1 = window2_c_row(r, p)
             rows_c.append(((1.0 - f) * c0 + f * c1) * m)
             rows_cd.append((c1 - c0) * m)
         return (jnp.concatenate(rows_c, 1), jnp.concatenate(rows_cd, 1))
@@ -162,7 +174,7 @@ def _make_samplers(shift_ref, mask_ref, src_ref, log_ref, sig_ref,
     def sample_cd_vec(n):
         p, f = taps(0, n)
         m = mask_ref[0, n]
-        c0, c1 = window2_vec(src_ref, None, p)
+        c0, c1 = window2_c_vec(p)
         return ((1.0 - f) * c0 + f * c1) * m, (c1 - c0) * m
 
     return (sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec,
@@ -174,12 +186,11 @@ def _fwd_kernel(
     mask_ref,    # (R, N) SMEM  row plane-validity
     src_ref,     # (3, R, Wp) VMEM padded source rows
     tgt_ref,     # (3, R, W)  VMEM target rows
-    log_ref,     # (N, R, Wp) VMEM padded logits
-    sig_ref,     # (N, R, Wp) VMEM padded sigmas
+    ls_ref,      # (2N, R, Wp) VMEM padded interleaved logits/sigma
     rgb_ref,     # (3, R, W)  out
     nll_ref,     # (R, W)     out
     nlla_ref,    # (R, W)     out
-    l_scr,       # (N, R, W) VMEM scratch: sampled+masked logits
+    l_scr,       # (N, R, W) VMEM scratch: e = exp(l - max) (see pass 2)
     s_scr,       # (N, R, W) VMEM scratch: sampled+clamped sigmas
     *,
     n_planes: int,
@@ -193,7 +204,7 @@ def _fwd_kernel(
     WQ = W + 128            # aligned window: residual lane shift < 128
 
     helpers = _make_samplers(
-        shift_ref, mask_ref, src_ref, log_ref, sig_ref, R, W, pad
+        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad
     )
     sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec = helpers[:4]
 
@@ -214,47 +225,50 @@ def _fwd_kernel(
     )
     mx = jax.lax.fori_loop(NV, N, pass1(sample_ls_rows), mx)
 
-    # ---- pass 2 (scratch-only): e = exp(l - max) cached IN PLACE of l,
-    # softmax normalizer se = sum e, mixture normalizer U = (sum e/s)/se ----
-    def pass2(n, carry):
-        se, us = carry
-        e_n = jnp.exp(l_scr[n] - mx)
-        l_scr[n] = e_n                       # overwrite: raw l is dead now
-        return se + e_n, us + e_n / s_scr[n]
-
-    se, us = jax.lax.fori_loop(
-        0, N, pass2, (jnp.zeros((R, W), F32), jnp.zeros((R, W), F32))
-    )
-    inv_se = 1.0 / se                        # se >= exp(0) = 1 at the max
-    U = us * inv_se
-    inv_u = jnp.where(U > 1e-7, 1.0 / jnp.maximum(U, 1e-7), 0.0)
-
-    # ---- pass 3: rgb resample, composite, mixture sums ---------------------
+    # ---- pass 2: colors + e-linear accumulators in ONE pass ----------------
+    # every sum is LINEAR in e_n = exp(l_n - max):
+    #   se  = sum e            (softmax normalizer)
+    #   us  = sum e/s          (=> U = us/se; rgb = rgb'/us directly)
+    #   rgb'= sum (e/s) c
+    #   M'  = sum e lap, Ma' = sum e lapa   (=> M = M'/se)
+    # so the old scratch-only exp pass folds away; e is cached in place of
+    # l for any later consumer.
     tgt = tgt_ref[...].astype(F32)                        # (3, R, W)
     e_auto = (
         jnp.abs(src_ref[:, :, pl.ds(pad, W)].astype(F32) - tgt).sum(0) / 3.0
     )
 
-    def pass3(sampler):
+    def pass2(sampler):
         def body(n, carry):
-            rgb_acc, M, Ma = carry
-            pi_n = l_scr[n] * inv_se
+            se, us, rgb_acc, M, Ma = carry
+            e_n = jnp.exp(l_scr[n] - mx)
+            l_scr[n] = e_n               # overwrite: raw l is dead now
             s_n = s_scr[n]
+            u_n = e_n / s_n
             c_n = sampler(n)                              # (3, R, W)
-            wgt = (pi_n / s_n) * inv_u
-            rgb_acc = rgb_acc + wgt[None] * c_n
-            e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
-            M = M + pi_n * 0.5 * jnp.exp(-e_n / s_n) / s_n
-            Ma = Ma + pi_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
-            return rgb_acc, M, Ma
+            rgb_acc = rgb_acc + u_n[None] * c_n
+            err_n = jnp.abs(c_n - tgt).sum(0) / 3.0
+            M = M + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
+            Ma = Ma + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
+            return se + e_n, us + u_n, rgb_acc, M, Ma
         return body
 
-    carry = (jnp.zeros((3, R, W), F32), jnp.zeros((R, W), F32),
+    carry = (jnp.zeros((R, W), F32), jnp.zeros((R, W), F32),
+             jnp.zeros((3, R, W), F32), jnp.zeros((R, W), F32),
              jnp.zeros((R, W), F32))
-    carry = jax.lax.fori_loop(0, NV, pass3(sample_c_vec), carry)
-    rgb_acc, M, Ma = jax.lax.fori_loop(NV, N, pass3(sample_c_rows), carry)
+    carry = jax.lax.fori_loop(0, NV, pass2(sample_c_vec), carry)
+    se, us, rgb_acc, M, Ma = jax.lax.fori_loop(
+        NV, N, pass2(sample_c_rows), carry
+    )
+    inv_se = 1.0 / se                        # se >= exp(0) = 1 at the max
+    U = us * inv_se
+    # rgb = sum (pi/s) c * inv(U) = (inv_se * rgb') * inv(us * inv_se)
+    #     = rgb' / us, with the same U <= eps guard as the oracle
+    inv_us = jnp.where(U > 1e-7, 1.0 / jnp.maximum(us, 1e-30), 0.0)
+    M = M * inv_se
+    Ma = Ma * inv_se
 
-    rgb_ref[...] = rgb_acc.astype(rgb_ref.dtype)
+    rgb_ref[...] = (rgb_acc * inv_us[None]).astype(rgb_ref.dtype)
     nll_ref[...] = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
     nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
 
@@ -264,31 +278,18 @@ def _bwd_kernel(
     mask_ref,    # (R, N) SMEM
     src_ref,     # (3, R, Wp) VMEM padded source rows
     tgt_ref,     # (3, R, W)
-    log_ref,     # (N, R, Wp) padded
-    sig_ref,     # (N, R, Wp) padded
+    ls_ref,      # (2N, R, Wp) padded interleaved logits/sigma
     grgb_ref,    # (3, R, W) cotangent of rgb_rec
     gnll_ref,    # (R, W)
     gnla_ref,    # (R, W)
-    dsrc_ref,    # (3, R, W) out
-    dtgt_ref,    # (3, R, W) out
-    dlog_ref,    # (N, R, W) out
-    dsig_ref,    # (N, R, W) out
-    dshift_ref,  # (N, R, 128) out — scalar per (n, r) broadcast across
-                 # lanes (lane-dim dynamic scalar stores are not
-                 # expressible; column 0 is read back outside)
-    l_scr,       # (N, R, W) f32 sampled+masked logits
-    s_scr,       # (N, R, W) f32 sampled+clamped sigmas
-    ld_scr,      # (N, R, W) f32 masked logit tap diffs (d/dshift)
-    sd_scr,      # (N, R, W) f32 masked sigma tap diffs
-    c_scr,       # (N, 3, R, W) f32 sampled+masked source colors
-    cd_scr,      # (N, 3, R, W) f32 masked color tap diffs
-    g_scr,       # (3, R, WG) f32 padded per-plane dci rows (reused)
-    *,
+    *refs,       # [dsrc, dtgt when image_grads] dlog, dsig, dshift outs +
+                 # scratches l, s, ld, sd, c, cd, g
     n_planes: int,
     n_vertical: int,
     rows: int,
     width: int,
     pad: int,
+    image_grads: bool = True,
 ):
     """Adjoint of _fwd_kernel, same slicing structure, scatter-free.
 
@@ -302,14 +303,27 @@ def _bwd_kernel(
     loaded for the interpolation anyway) in VMEM scratch, so the emission
     pass does no forward sampling at all and d/dshift reduces over cached
     (R, W) blocks instead of per-row re-windows.
+
+    ``image_grads=False`` drops the d_src/d_tgt outputs and with them the
+    entire automask adjoint (nll_auto's only live cotangent path is into
+    the images — pi/sigma are detached there by definition).  The train
+    step never differentiates w.r.t. the batch images, so this is the
+    production configuration.
     """
+    if image_grads:
+        (dsrc_ref, dtgt_ref, dlog_ref, dsig_ref, dshift_ref,
+         l_scr, s_scr, ld_scr, sd_scr, c_scr, cd_scr, g_scr) = refs
+    else:
+        (dlog_ref, dsig_ref, dshift_ref,
+         l_scr, s_scr, ld_scr, sd_scr, c_scr, cd_scr, g_scr) = refs
+        dsrc_ref = dtgt_ref = None
     N, R, W = n_planes, rows, width
     NV = n_vertical
     WQ = W + 128
     WG = W + 2 * pad + 128
 
     helpers = _make_samplers(
-        shift_ref, mask_ref, src_ref, log_ref, sig_ref, R, W, pad
+        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad
     )
     sample_lsd_rows, sample_lsd_vec = helpers[4:6]
     sample_cd_rows, sample_cd_vec = helpers[6:8]
@@ -353,57 +367,66 @@ def _bwd_kernel(
     )
     mx = jax.lax.fori_loop(NV, N, pass1(sample_lsd_rows), mx)
 
-    # scratch-only: cache e = exp(l - max) in place of l, normalizer se
-    def exp_pass(n, se):
-        e_n = jnp.exp(l_scr[n] - mx)
-        l_scr[n] = e_n
-        return se + e_n
-
-    se = jax.lax.fori_loop(0, N, exp_pass, jnp.zeros((R, W), F32))
-    inv_se = 1.0 / se
-
     tgt = tgt_ref[...].astype(F32)
-    src0 = src_ref[:, :, pl.ds(pad, W)].astype(F32)
-    e_auto = jnp.abs(src0 - tgt).sum(0) / 3.0
     G = grgb_ref[...].astype(F32)
     gN = gnll_ref[...].astype(F32)
-    gA_ = gnla_ref[...].astype(F32)
+    if image_grads:
+        src0 = src_ref[:, :, pl.ds(pad, W)].astype(F32)
+        e_auto = jnp.abs(src0 - tgt).sum(0) / 3.0
+        gA_ = gnla_ref[...].astype(F32)
 
-    # ---- couplings: U, A, M, Ma, dEa (also caches c + its tap diffs) -------
+    # ---- couplings pass: e-linear accumulators (exp pass folded in) --------
+    # se/U'/A'/M' [, Ma', dEa'] are all LINEAR in e_n = exp(l_n - max);
+    # scale by inv_se once after the loop.  e is cached in place of l for
+    # the emission pass.
     def pass2(sampler):
         def body(n, carry):
-            U, A, M, Ma, dEa = carry
-            pi_n = l_scr[n] * inv_se
+            se, U, A, M = carry[:4]
+            e_n = jnp.exp(l_scr[n] - mx)
+            l_scr[n] = e_n               # overwrite: raw l is dead now
             s_n = s_scr[n]
-            u_n = pi_n / s_n
+            u_n = e_n / s_n
             c_n, cd_n = sampler(n)
             c_scr[n] = c_n
             cd_scr[n] = cd_n
-            e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
-            lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
-            lapa_n = 0.5 * jnp.exp(-e_auto / s_n) / s_n
+            err_n = jnp.abs(c_n - tgt).sum(0) / 3.0
+            lap_n = 0.5 * jnp.exp(-err_n / s_n) / s_n
+            se = se + e_n
             U = U + u_n
             A = A + (G * c_n).sum(0) * u_n
-            M = M + pi_n * lap_n
-            Ma = Ma + pi_n * lapa_n
-            dEa = dEa + pi_n * lapa_n * (-1.0 / s_n)
-            return U, A, M, Ma, dEa
+            M = M + e_n * lap_n
+            if not image_grads:
+                return se, U, A, M
+            lapa_n = 0.5 * jnp.exp(-e_auto / s_n) / s_n
+            Ma, dEa = carry[4:]
+            return (se, U, A, M, Ma + e_n * lapa_n,
+                    dEa + e_n * lapa_n * (-1.0 / s_n))
         return body
 
-    carry = tuple(jnp.zeros((R, W), F32) for _ in range(5))
+    n_carry = 6 if image_grads else 4
+    carry = tuple(jnp.zeros((R, W), F32) for _ in range(n_carry))
     carry = jax.lax.fori_loop(0, NV, pass2(sample_cd_vec), carry)
-    U, A, M, Ma, dEa = jax.lax.fori_loop(NV, N, pass2(sample_cd_rows), carry)
+    carry = jax.lax.fori_loop(NV, N, pass2(sample_cd_rows), carry)
+    se, U, A, M = carry[:4]
+    inv_se = 1.0 / se                    # se >= exp(0) = 1 at the max
+    U = U * inv_se
+    A = A * inv_se
+    M = M * inv_se
     inv_u = jnp.where(U > 1e-7, 1.0 / jnp.maximum(U, 1e-7), 0.0)
     dM = -gN * (M > 0) / (jnp.maximum(M, 0.0) + 1e-7)
-    dMa = -gA_ * (Ma > 0) / (jnp.maximum(Ma, 0.0) + 1e-7)
-    dEa = dEa * dMa
     dU = -(inv_u**2) * A * (U > 1e-7)
     S = inv_u * A + dM * M + dU * U
 
     # ---- emission (no forward sampling — everything is in scratch) ---------
-    dsrc_acc0 = jnp.sign(src0 - tgt) * (dEa / 3.0)[None]
-    dsrc_ref[...] = dsrc_acc0
-    dtgt_ref[...] = -dsrc_acc0
+    if image_grads:
+        Ma, dEa = carry[4:]
+        Ma = Ma * inv_se
+        dEa = dEa * inv_se
+        dMa = -gA_ * (Ma > 0) / (jnp.maximum(Ma, 0.0) + 1e-7)
+        dEa = dEa * dMa
+        dsrc_acc0 = jnp.sign(src0 - tgt) * (dEa / 3.0)[None]
+        dsrc_ref[...] = dsrc_acc0
+        dtgt_ref[...] = -dsrc_acc0
     # pad regions stay zero: both stagings below only write [pad, pad+W)
     g_scr[...] = jnp.zeros((3, R, WG), F32)
 
@@ -429,7 +452,8 @@ def _bwd_kernel(
         ds_gate = ds_n * ((s_n > 0.01) & (s_n < 1.0))
         sgn = jnp.sign(c_n - tgt)
         dc_n = G * wgt_n[None] + sgn * (de_n / 3.0)[None]
-        dtgt_ref[...] += -sgn * (de_n / 3.0)[None]
+        if image_grads:
+            dtgt_ref[...] += -sgn * (de_n / 3.0)[None]
         # d/dshift: one (R,) reduction over the cached tap diffs (the
         # diffs carry the mask; the adjoints are multiplied by it anyway)
         dshift_r = (
@@ -447,27 +471,29 @@ def _bwd_kernel(
         dshift_ref[n] = jnp.broadcast_to(dshift_r[:, None], (R, 128))
 
         # d_src / d_logits / d_sigma via reverse windows of staged blocks
-        g_scr[:, :, pl.ds(pad, W)] = dc_n * m
-        dsrc_ref[...] += g_back_vec(rev, f)
+        if image_grads:
+            g_scr[:, :, pl.ds(pad, W)] = dc_n * m
+            dsrc_ref[...] += g_back_vec(rev, f)
         g_scr[0, :, pl.ds(pad, W)] = dl_n * m
         g_scr[1, :, pl.ds(pad, W)] = ds_g * m
         back2 = g_back_vec(rev, f)
-        dlog_ref[n] = back2[0]
-        dsig_ref[n] = back2[1]
+        dlog_ref[n] = back2[0].astype(dlog_ref.dtype)
+        dsig_ref[n] = back2[1].astype(dsig_ref.dtype)
         return 0
 
     def pass3_rows(n, _):
         dl_n, ds_g, dc_n, dshift_r = plane_grads(n)
         dshift_ref[n] = jnp.broadcast_to(dshift_r[:, None], (R, 128))
 
-        for r in range(R):
-            m = mask_ref[r, n]
-            g_scr[:, pl.ds(r, 1), pl.ds(pad, W)] = dc_n[:, r : r + 1] * m
-        dsrc_rows = []
-        for r in range(R):
-            p, f = taps(r, n)
-            dsrc_rows.append(g_back(r, 2 * pad - p, f))
-        dsrc_ref[...] += jnp.concatenate(dsrc_rows, axis=1)
+        if image_grads:
+            for r in range(R):
+                m = mask_ref[r, n]
+                g_scr[:, pl.ds(r, 1), pl.ds(pad, W)] = dc_n[:, r : r + 1] * m
+            dsrc_rows = []
+            for r in range(R):
+                p, f = taps(r, n)
+                dsrc_rows.append(g_back(r, 2 * pad - p, f))
+            dsrc_ref[...] += jnp.concatenate(dsrc_rows, axis=1)
 
         for r in range(R):
             m = mask_ref[r, n]
@@ -476,8 +502,8 @@ def _bwd_kernel(
         for r in range(R):
             p, f = taps(r, n)
             back = g_back(r, 2 * pad - p, f)
-            dlog_ref[n, pl.ds(r, 1)] = back[0]
-            dsig_ref[n, pl.ds(r, 1)] = back[1]
+            dlog_ref[n, pl.ds(r, 1)] = back[0].astype(dlog_ref.dtype)
+            dsig_ref[n, pl.ds(r, 1)] = back[1].astype(dsig_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, NV, pass3_vec, 0)
@@ -489,6 +515,17 @@ def _pad_w(x, pad):
     (the extra 128 is window slack for the dynamic lane roll)."""
     cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad + 128)]
     return jnp.pad(x, cfg)
+
+
+def _pack_ls(logits_t, sigma_t, pad):
+    """Interleave (B, N, H, W) logits/sigma into a padded (B, 2N, H, Wp)
+    buffer (logits at 2n, sigma at 2n+1) — ONE window+roll in the kernel
+    then fetches both heads.  This replaces the two separate transposes
+    the call site would otherwise feed the kernel, so it costs no extra
+    HBM traffic."""
+    B, N, H, W = logits_t.shape
+    ls = jnp.stack([logits_t, sigma_t], axis=2).reshape(B, 2 * N, H, W)
+    return _pad_w(ls, pad)
 
 
 @functools.partial(
@@ -522,8 +559,7 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
     src_p = _pad_w(src_t, pad)
-    log_p = _pad_w(logits_t, pad)
-    sig_p = _pad_w(sigma_t, pad)
+    ls_p = _pack_ls(logits_t, sigma_t, pad)
 
     kernel = functools.partial(
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
@@ -542,10 +578,8 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                          memory_space=pltpu.VMEM),         # src (padded)
             pl.BlockSpec((None, 3, R, W), lambda b, h: (b, 0, h, 0),
                          memory_space=pltpu.VMEM),         # target
-            pl.BlockSpec((None, N, R, Wp), lambda b, h: (b, 0, h, 0),
-                         memory_space=pltpu.VMEM),         # logits (padded)
-            pl.BlockSpec((None, N, R, Wp), lambda b, h: (b, 0, h, 0),
-                         memory_space=pltpu.VMEM),         # sigma (padded)
+            pl.BlockSpec((None, 2 * N, R, Wp), lambda b, h: (b, 0, h, 0),
+                         memory_space=pltpu.VMEM),         # logits|sigma
         ],
         out_specs=[
             pl.BlockSpec((None, 3, R, W), lambda b, h: (b, 0, h, 0),
@@ -570,18 +604,25 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(shift, mask, src_p, target_t, log_p, sig_p)
+    )(shift, mask, src_p, target_t, ls_p)
     return rgb, nll, nlla
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pad", "rows", "interpret", "n_vertical")
+    jax.jit,
+    static_argnames=("pad", "rows", "interpret", "n_vertical", "image_grads"),
 )
 def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
                    g_rgb, g_nll, g_nla,
                    pad: int, rows: int = 8, interpret: bool = False,
-                   n_vertical: int = 0):
-    """Pallas backward kernel invocation (adjoint of sweep_forward)."""
+                   n_vertical: int = 0, image_grads: bool = True):
+    """Pallas backward kernel invocation (adjoint of sweep_forward).
+
+    ``image_grads=False`` (the train-step configuration — images are
+    never differentiated) skips the d_src/d_tgt outputs and the automask
+    adjoint inside the kernel.  d_log/d_sig are emitted in the INPUT
+    dtype (bf16 in production), halving their HBM write+readback.
+    """
     B, _, H, W = src_t.shape
     N = logits_t.shape[1]
     R = rows
@@ -591,12 +632,11 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
     src_p = _pad_w(src_t, pad)
-    log_p = _pad_w(logits_t, pad)
-    sig_p = _pad_w(sigma_t, pad)
+    ls_p = _pack_ls(logits_t, sigma_t, pad)
 
     kernel = functools.partial(
         _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
-        pad=pad,
+        pad=pad, image_grads=image_grads,
     )
 
     def vspec(shape_prefix, Wd):
@@ -610,31 +650,31 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     smem_spec = pl.BlockSpec((None, R, N), lambda b, h: (b, h, 0),
                              memory_space=pltpu.SMEM)
 
+    img_specs = [vspec((3, R), W), vspec((3, R), W)] if image_grads else []
+    img_shapes = (
+        [jax.ShapeDtypeStruct((B, 3, H, W), F32)] * 2 if image_grads else []
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(B, H // R),
         in_specs=[
             smem_spec, smem_spec,
             vspec((3, R), Wp), vspec((3, R), W),
-            vspec((N, R), Wp), vspec((N, R), Wp),
+            vspec((2 * N, R), Wp),
             vspec((3, R), W),
             pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            vspec((3, R), W),            # d_src
-            vspec((3, R), W),            # d_tgt
+        out_specs=img_specs + [
             vspec((N, R), W),            # d_log
             vspec((N, R), W),            # d_sig
             vspec((N, R), 128),          # d_shift (broadcast lanes)
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 3, H, W), F32),
-            jax.ShapeDtypeStruct((B, 3, H, W), F32),
-            jax.ShapeDtypeStruct((B, N, H, W), F32),
-            jax.ShapeDtypeStruct((B, N, H, W), F32),
+        out_shape=img_shapes + [
+            jax.ShapeDtypeStruct((B, N, H, W), logits_t.dtype),
+            jax.ShapeDtypeStruct((B, N, H, W), sigma_t.dtype),
             jax.ShapeDtypeStruct((B, N, H, 128), F32),
         ],
         scratch_shapes=[
@@ -650,13 +690,20 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(shift, mask, src_p, target_t, log_p, sig_p, g_rgb, g_nll, g_nla)
+    )(shift, mask, src_p, target_t, ls_p, g_rgb, g_nll, g_nla)
 
-    d_src, d_tgt, d_log, d_sig, d_shift_b = outs
+    if image_grads:
+        d_src, d_tgt, d_log, d_sig, d_shift_b = outs
+        d_src = d_src.astype(src_t.dtype)
+        d_tgt = d_tgt.astype(target_t.dtype)
+    else:
+        d_log, d_sig, d_shift_b = outs
+        d_src = jnp.zeros_like(src_t)
+        d_tgt = jnp.zeros_like(target_t)
     d_shift = jnp.moveaxis(d_shift_b[..., 0], 1, -1)       # (B, H, N)
     return (
-        d_src.astype(src_t.dtype),
-        d_tgt.astype(target_t.dtype),
+        d_src,
+        d_tgt,
         d_log.astype(logits_t.dtype),
         d_sig.astype(sigma_t.dtype),
         d_shift.astype(shift.dtype),
@@ -940,14 +987,16 @@ def _shift_gather_int(maps, k, W):
     return jnp.where(valid[:, None], g, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
                       pad: int, interpret: bool = False,
-                      n_vertical: int = 0):
+                      n_vertical: int = 0, image_grads: bool = True):
     """Fused plane-sweep: Pallas forward + hand-derived scatter-free VJP.
 
     The automask NLL treats pi/sigma as constants by definition (reference
-    trainer.py:733) — the adjoint honors that.
+    trainer.py:733) — the adjoint honors that.  ``image_grads=False``
+    returns ZERO cotangents for src/tgt (the train step never
+    differentiates the batch images) and skips their computation.
     """
     return sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                          pad=pad, interpret=interpret,
@@ -955,19 +1004,19 @@ def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
 
 
 def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
-             interpret, n_vertical):
+             interpret, n_vertical, image_grads):
     out = sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                         pad=pad, interpret=interpret, n_vertical=n_vertical)
     return out, (src_t, target_t, logits_t, sigma_t, shift, mask)
 
 
-def _fps_bwd(pad, interpret, n_vertical, res, cts):
+def _fps_bwd(pad, interpret, n_vertical, image_grads, res, cts):
     src_t, target_t, logits_t, sigma_t, shift, mask = res
     g_rgb, g_nll, g_nla = [x.astype(F32) for x in cts]
     return sweep_backward(
         src_t, target_t, logits_t, sigma_t, shift, mask,
         g_rgb, g_nll, g_nla, pad=pad, interpret=interpret,
-        n_vertical=n_vertical,
+        n_vertical=n_vertical, image_grads=image_grads,
     )
 
 

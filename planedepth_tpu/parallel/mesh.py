@@ -88,6 +88,24 @@ def replicate_state(tree: Any, mesh: Mesh) -> Any:
     )
 
 
+def _with_ambient_mesh(jitted, mesh: Mesh):
+    """Run ``jitted`` with ``mesh`` ambient so the Pallas kernel call
+    sites can shard_map themselves over it (parallel/shard.py) — tracing
+    happens inside the context on the first call."""
+    from planedepth_tpu.parallel.shard import ambient_mesh
+
+    def call(*args, **kwargs):
+        with ambient_mesh(mesh):
+            return jitted(*args, **kwargs)
+
+    def lower(*args, **kwargs):
+        with ambient_mesh(mesh):
+            return jitted.lower(*args, **kwargs)
+
+    call.lower = lower
+    return call
+
+
 def jit_train_step(train_step, mesh: Mesh):
     """jit the train step with state replicated, batch sharding inherited
     from the arguments (see :func:`shard_batch`).
@@ -96,13 +114,14 @@ def jit_train_step(train_step, mesh: Mesh):
     automatic psum over ``data`` (and ``spatial``) — the DDP all-reduce.
     """
     rep = replicated(mesh)
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+    return _with_ambient_mesh(jitted, mesh)
 
 
 def jit_eval_step(eval_step, mesh: Mesh):
     rep = replicated(mesh)
-    return jax.jit(eval_step, out_shardings=rep)
+    return _with_ambient_mesh(jax.jit(eval_step, out_shardings=rep), mesh)

@@ -56,12 +56,17 @@ def _shift_sample_per_plane(
     """
     if pallas_spec is not None:
         from planedepth_tpu.ops.pallas_shift import rowshift_planes_fwd
+        from planedepth_tpu.parallel.shard import shard_kernel
 
         pad, n_vertical, interpret = pallas_spec
-        return rowshift_planes_fwd(
-            maps, shift[:, :, 0, :], pad=pad, interpret=interpret,
-            n_vertical=n_vertical,
+        sampler = shard_kernel(
+            lambda m, s: rowshift_planes_fwd(
+                m, s, pad=pad, interpret=interpret, n_vertical=n_vertical
+            ),
+            in_rows=(1, 1),
+            out_rows=(1,),
         )
+        return sampler(maps, shift[:, :, 0, :])
 
     def one_plane(m, s):
         # m, s: (B, H, W)

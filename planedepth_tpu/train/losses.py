@@ -45,8 +45,18 @@ def perceptual_loss(
     source: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """VGG/ResNet feature MSE over 3 slices with optional automask min
-    (reference trainer.py:672-685)."""
+    (reference trainer.py:672-685).
+
+    The feature extractions are rematerialized in the backward pass: the
+    pc net is frozen (no parameter grads) and only ``pred`` carries a
+    cotangent, but without remat XLA stores every VGG activation at full
+    resolution — enough to OOM the HR batch-4 step on a 16G chip.
+    """
+    pc_apply = jax.checkpoint(pc_apply)
     pred_f = pc_apply(pred)
+    # target/source enter only through stop-gradient-like paths (their
+    # cotangents are never requested by the train step), but remat them
+    # too so their activations are equally free
     target_f = pc_apply(target)
     source_f = pc_apply(source) if source is not None else None
     loss = 0.0

@@ -45,7 +45,14 @@ class ModelBundle:
 
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
-        self.depth = build_depth_model(cfg.model, bf16=cfg.bf16)
+        model_cfg = cfg.model
+        if cfg.bf16 and fused_sweep_ok(cfg):
+            # the fused loss path consumes logits/sigma through the Pallas
+            # kernels (VMEM upcast) — keep the train-mode heads bf16
+            import dataclasses
+
+            model_cfg = dataclasses.replace(model_cfg, fused_head_bf16=True)
+        self.depth = build_depth_model(model_cfg, bf16=cfg.bf16)
         self.pose_encoder = None
         self.pose = None
         if cfg.use_pose_net:
@@ -228,17 +235,7 @@ def process_batch(
         outputs["disp_pp"] = disp_pp
         outputs["mask_novel"] = mask_novel
 
-    fused_ok = (
-        cfg.fused_sweep
-        and cfg.warp_type == "disp_warp"
-        and cfg.model.use_mixture_loss
-        and not cfg.model.render_probability
-        and not cfg.loss.use_mom
-        and cfg.model.planes.yz_levels == 0
-        and tuple(cfg.target_sides) == ("r",)
-        and cfg.loss.alpha_self == 0.0
-    )
-    if fused_ok:
+    if fused_sweep_ok(cfg):
         losses = fused_stereo_losses(bundle, cfg, outputs, batch, pc_params)
         return losses, outputs, new_stats
 
@@ -297,6 +294,28 @@ def process_batch(
     return losses, outputs, new_stats
 
 
+def fused_sweep_ok(cfg: TrainConfig) -> bool:
+    """True when the training mode is covered by the fused Pallas sweep.
+
+    The fused kernel is THE production TPU path: on v5e it measures ~170x
+    faster than the XLA-gather oracle (0.072 imgs/s/chip vs ~12,
+    PERF_NOTES.md) because XLA lowers lane-dimension gathers to
+    near-scalar TPU code.  Everything outside this predicate (monocular
+    ``homography_warp``/``depth_warp``, use_mom, render_probability,
+    alpha_self, yz planes, extra target sides) falls back to the oracle.
+    """
+    return (
+        cfg.fused_sweep
+        and cfg.warp_type == "disp_warp"
+        and cfg.model.use_mixture_loss
+        and not cfg.model.render_probability
+        and not cfg.loss.use_mom
+        and cfg.model.planes.yz_levels == 0
+        and tuple(cfg.target_sides) == ("r",)
+        and cfg.loss.alpha_self == 0.0
+    )
+
+
 def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     """Stage-1/HR/SD stereo loss path via the fused Pallas plane sweep.
 
@@ -326,9 +345,22 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     mask_rows = outputs["padding_mask"][:, :, 0, :]
 
     interpret = jax.default_backend() != "tpu"   # CPU tests: interpret mode
-    rgb_t, nll, nll_auto = fused_plane_sweep(
-        src_t, tgt_t, logits_t, sigma_t, shift, mask_rows, pad, interpret,
-        cfg.model.planes.disp_levels,    # vertical planes: row-vectorized
+    # under a GSPMD mesh the pallas_call must be shard_mapped over the
+    # batch (and spatial) axes — plain jit would all-gather + replicate it
+    # on every device (parallel/shard.py)
+    from planedepth_tpu.parallel.shard import shard_kernel
+
+    n_vertical = cfg.model.planes.disp_levels  # vertical: row-vectorized
+    sweep = shard_kernel(
+        lambda s, t, l, sg, sh, m: fused_plane_sweep(
+            s, t, l, sg, sh, m, pad, interpret, n_vertical,
+            False,                   # image_grads: images are never diffed
+        ),
+        in_rows=(2, 2, 2, 2, 1, 1),
+        out_rows=(2, 1, 1),
+    )
+    rgb_t, nll, nll_auto = sweep(
+        src_t, tgt_t, logits_t, sigma_t, shift, mask_rows
     )
     rgb_rec = jnp.moveaxis(rgb_t, 1, -1)
 

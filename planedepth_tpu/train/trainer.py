@@ -113,6 +113,21 @@ class Trainer:
         self.steps_per_epoch = self.train_sampler.steps_per_epoch()
 
         # models / optimizer -------------------------------------------------
+        from planedepth_tpu.train.step import fused_sweep_ok
+
+        if jax.default_backend() == "tpu" and not fused_sweep_ok(cfg):
+            import warnings
+
+            warnings.warn(
+                "This training mode is NOT covered by the fused Pallas "
+                "plane-sweep kernel (see train/step.py:fused_sweep_ok) and "
+                "will take the XLA-gather fallback, measured ~170x slower "
+                "on TPU (0.072 vs ~12 imgs/s/chip at HR, PERF_NOTES.md) — "
+                "lane-dimension gathers lower to near-scalar TPU code. "
+                "For production TPU training use stereo disp_warp + "
+                "mixture loss with fused_sweep=True.",
+                stacklevel=2,
+            )
         self.bundle = ModelBundle(cfg)
         params, batch_stats, pc_params = self.bundle.init(
             jax.random.PRNGKey(cfg.seed), cfg.data.height, cfg.data.width
@@ -196,6 +211,7 @@ class Trainer:
             self.logger.save_config(cfg.to_json())
             self._save_provenance()
         self.best_absrel = 10.0
+        self._val_panel_step = 0
         # resume fast-forward (reference trainer.py:242-244 replays the LR
         # scheduler; here the schedule is a pure function of the step)
         self.step_count = cfg.optim.start_epoch * self.steps_per_epoch
@@ -257,7 +273,13 @@ class Trainer:
                         {k: float(v) for k, v in metrics.items()},
                         self.step_count,
                     )
-            if batch_idx == 0 and self.is_chief:
+            # train-mode image panels every log_img_frequency steps
+            # (reference trainer.py:316-320); always on the epoch's first
+            # batch so short runs still produce panels
+            if (
+                batch_idx == 0
+                or self.step_count % cfg.log_img_frequency == 0
+            ) and self.is_chief:
                 self.log_images("train", batch)
             self.step_count += 1
         self.val(epoch)
@@ -281,9 +303,12 @@ class Trainer:
             device_batch = shard_batch(batch, self.mesh)
             metrics = self.eval_step(self.state, device_batch)
             # val image panels every log_img_frequency batches
-            # (reference trainer.py:499-500)
+            # (reference trainer.py:499-500).  Panels use their own
+            # monotonic step so they never collide with train scalar steps
+            # across epochs (the "val" writer is separate from "train").
             if batch_idx % self.cfg.log_img_frequency == 0 and self.is_chief:
-                self.log_images("val", batch, step=self.step_count + batch_idx)
+                self.log_images("val", batch, step=self._val_panel_step)
+                self._val_panel_step += 1
             b = batch["color_l"].shape[0]
             n += b
             for k, v in metrics.items():

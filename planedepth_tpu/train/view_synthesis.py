@@ -11,7 +11,8 @@ TPU design:
     (1-D interpolation along width — half the gather traffic of a full 2-D
     grid_sample);
   * the XLA path below is the correctness oracle; the fused Pallas kernel
-    (ops/pallas_warp.py) replaces it on TPU for the stereo mode.
+    (ops/pallas_sweep.py, wired in train/step.py:fused_stereo_losses)
+    replaces it on TPU for the stereo mode.
 
 Reference quirk reproduced deliberately: with ``warp_type=depth_warp`` the
 reference never assigns a padding mask (trainer.py:533-538 vs :554) and would

@@ -118,6 +118,95 @@ def convert_vgg19_features(sd: Dict) -> Dict:
     return {"params": params}
 
 
+def _bn(sd, key: str) -> Tuple[Dict, Dict]:
+    """torch BN params at ``key`` -> ({scale, bias}, {mean, var})."""
+    return (
+        {"bn": {"scale": np.asarray(sd[key + ".weight"]),
+                "bias": np.asarray(sd[key + ".bias"])}},
+        {"bn": {"mean": np.asarray(sd[key + ".running_mean"]),
+                "var": np.asarray(sd[key + ".running_var"])}},
+    )
+
+
+def convert_depth_decoder(
+    sd: Dict,
+    num_ep: int = 8,
+    pe_type: str = "neural",
+    use_denseaspp: bool = True,
+    use_mixture_loss: bool = True,
+    plane_residual: bool = True,
+) -> Tuple[Dict, Dict]:
+    """Reference ``DepthDecoder`` state_dict -> (params, batch_stats) for
+    models.depth_decoder.DepthDecoder.
+
+    The reference registers its conv dict as ``nn.ModuleList`` in insertion
+    order (networks/depth_decoder.py:61-118), so keys are ``decoder.{idx}.*``
+    with idx = [epconv?] + upconv (4,0)..(0,1) + [denseaspp?] + dispconv +
+    [sigmaconv?] + [residualconv?].
+    """
+    prefix = "decoder." if any(k.startswith("decoder.") for k in sd) else ""
+
+    def cw(key):
+        return _conv(np.asarray(sd[prefix + key + ".weight"]))
+
+    def cb(key):
+        return np.asarray(sd[prefix + key + ".bias"])
+
+    params: Dict = {}
+    stats: Dict = {}
+    idx = 0
+    if num_ep > 0 and pe_type == "neural":
+        params["epconv"] = {
+            "conv0": {"kernel": cw(f"{idx}.0"), "bias": cb(f"{idx}.0")},
+            "conv1": {"kernel": cw(f"{idx}.2"), "bias": cb(f"{idx}.2")},
+        }
+        idx += 1
+    for i in range(4, -1, -1):
+        for j in (0, 1):
+            params[f"upconv_{i}_{j}"] = {"conv": {"conv": {
+                "kernel": cw(f"{idx}.conv.conv"),
+                "bias": cb(f"{idx}.conv.conv"),
+            }}}
+            idx += 1
+    if use_denseaspp:
+        da_p: Dict = {}
+        da_s: Dict = {}
+        for d in (3, 6, 12, 18, 24):
+            bp: Dict = {}
+            bs: Dict = {}
+            base = f"{prefix}{idx}.ASPP_{d}"
+            if f"{base}.norm1.weight" in sd:
+                bp["norm1"], bs["norm1"] = _bn(sd, base + ".norm1")
+            bp["conv1"] = {"kernel": cw(f"{idx}.ASPP_{d}.conv1"),
+                           "bias": cb(f"{idx}.ASPP_{d}.conv1")}
+            bp["norm2"], bs["norm2"] = _bn(sd, base + ".norm2")
+            bp["conv2"] = {"kernel": cw(f"{idx}.ASPP_{d}.conv2"),
+                           "bias": cb(f"{idx}.ASPP_{d}.conv2")}
+            da_p[f"aspp_{d}"] = bp
+            da_s[f"aspp_{d}"] = bs
+        da_p["classification"] = {
+            "kernel": cw(f"{idx}.classification.1"),
+            "bias": cb(f"{idx}.classification.1"),
+        }
+        params["denseaspp"] = da_p
+        stats["denseaspp"] = da_s
+        idx += 1
+    params["dispconv"] = {"conv": {"kernel": cw(f"{idx}.conv"),
+                                   "bias": cb(f"{idx}.conv")}}
+    idx += 1
+    if use_mixture_loss:
+        params["sigmaconv"] = {"conv": {"kernel": cw(f"{idx}.conv"),
+                                        "bias": cb(f"{idx}.conv")}}
+        idx += 1
+    if plane_residual:
+        params["residualconv_0"] = {"kernel": cw(f"{idx}.0"),
+                                    "bias": cb(f"{idx}.0")}
+        params["residualconv_1"] = {"kernel": cw(f"{idx}.2"),
+                                    "bias": cb(f"{idx}.2")}
+        idx += 1
+    return params, stats
+
+
 def save_converted(path: str, variables: Dict) -> int:
     """Write a nested variables dict ({"params": ..., ...}) as a flat .npz
     ('/'-joined keys); inverse of :func:`load_converted`."""

@@ -1,0 +1,80 @@
+"""Multi-host (2-process) smoke: the reference's multi-node DDP analogue.
+
+Spawns two ``jax.distributed``-initialized CPU processes with 4 virtual
+devices each and runs ONE production fused train step on the global
+8-device mesh, with each process contributing its per-host batch slice
+through ``jax.make_array_from_process_local_data``
+(parallel/mesh.py:shard_batch).  Both ranks must agree with each other
+AND with the same step executed in a single process on 8 local devices —
+proving the multi-host batch assembly, the cross-process gradient/BN
+reductions, and the shard_mapped Pallas kernels compose.
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+import jax
+import numpy as np
+
+pytestmark = pytest.mark.heavy
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_step_matches_single_process():
+    port = _free_port()
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    env.update(
+        PYTHONPATH=REPO,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests._multihost_worker",
+             str(pid), "2", str(port)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    losses = {}
+    for out in outs:
+        m = re.search(r"RANK(\d) loss=([-\d.eE]+)", out)
+        assert m, out[-3000:]
+        losses[int(m.group(1))] = float(m.group(2))
+    assert set(losses) == {0, 1}
+    assert np.isfinite(losses[0])
+    # both ranks computed the same global loss
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+    # single-process reference on 8 local devices, same global batch
+    from tests._multihost_worker import global_batch, run_step
+    from planedepth_tpu.parallel.mesh import make_mesh
+
+    assert len(jax.devices()) >= 8
+    cfg, batch_np = global_batch()
+    loss1 = run_step(cfg, batch_np, make_mesh(jax.devices()[:8]))
+    np.testing.assert_allclose(losses[0], loss1, rtol=2e-4)

@@ -106,6 +106,65 @@ def test_custom_vjp_matches_autodiff():
         )
 
 
+def test_image_grads_off_matches_for_live_cotangents():
+    """The production VJP config (image_grads=False — the train step never
+    differentiates the batch images) must produce identical logits/sigma/
+    shift gradients and exact-zero src/tgt cotangents."""
+    args = _inputs()
+    g_rgb = jnp.asarray(RNG.standard_normal((B, 3, H, W)).astype(np.float32))
+    g_nll = jnp.asarray(RNG.standard_normal((B, H, W)).astype(np.float32))
+    g_nla = jnp.asarray(RNG.standard_normal((B, H, W)).astype(np.float32))
+
+    def scalarize(image_grads):
+        def wrapped(src, tgt, logits, sigma, shift):
+            rgb, nll, nlla = fused_plane_sweep(
+                src, tgt, logits, sigma, shift, args[5], PAD, True, 0,
+                image_grads,
+            )
+            return (
+                jnp.sum(rgb * g_rgb) + jnp.sum(nll * g_nll)
+                + jnp.sum(nlla * g_nla)
+            )
+        return wrapped
+
+    full = jax.grad(scalarize(True), argnums=(0, 1, 2, 3, 4))(*args[:5])
+    slim = jax.grad(scalarize(False), argnums=(0, 1, 2, 3, 4))(*args[:5])
+    for name, i in (("logits", 2), ("sigma", 3), ("shift", 4)):
+        np.testing.assert_allclose(
+            np.asarray(slim[i]), np.asarray(full[i]), rtol=1e-5, atol=1e-6,
+            err_msg=name,
+        )
+    assert float(jnp.abs(slim[0]).max()) == 0.0
+    assert float(jnp.abs(slim[1]).max()) == 0.0
+
+
+def test_bf16_inputs_emit_bf16_grads():
+    """Production dtype flow: bf16 logits/sigma in -> bf16 d_log/d_sig out
+    (HBM halving), with values close to the f32 path."""
+    src, tgt, logits, sigma, shift, mask = _inputs()
+    lb, sb = logits.astype(jnp.bfloat16), sigma.astype(jnp.bfloat16)
+
+    def loss(l, s):
+        rgb, nll, _ = fused_plane_sweep(
+            src.astype(jnp.bfloat16), tgt.astype(jnp.bfloat16), l, s,
+            shift, mask, PAD, True, 0, False,
+        )
+        return jnp.sum(rgb.astype(jnp.float32)) + jnp.sum(nll)
+
+    gl, gs = jax.grad(loss, argnums=(0, 1))(lb, sb)
+    assert gl.dtype == jnp.bfloat16 and gs.dtype == jnp.bfloat16
+
+    def loss32(l, s):
+        rgb, nll, _ = fused_plane_sweep(
+            src, tgt, l, s, shift, mask, PAD, True, 0, False,
+        )
+        return jnp.sum(rgb) + jnp.sum(nll)
+
+    gl32, gs32 = jax.grad(loss32, argnums=(0, 1))(logits, sigma)
+    scale = float(jnp.abs(gl32).max())
+    assert float(jnp.abs(gl.astype(jnp.float32) - gl32).max()) < 0.03 * scale
+
+
 def test_manual_xla_adjoint_matches_autodiff():
     """The scan-based XLA adjoint (_sweep_bwd, the kernel's reference
     derivation) == autodiff of the dense oracle."""
