@@ -207,6 +207,38 @@ def convert_depth_decoder(
     return params, stats
 
 
+def convert_pose_decoder(sd: Dict, num_ep: int = 8) -> Dict:
+    """Reference ``PoseDecoder`` state_dict -> params for
+    models.pose_net.PoseDecoder (num_input_features=1, the trainer's
+    configuration — reference trainer.py:94).
+
+    Reference module order (``net.{idx}``, networks/pose_net.py:111-126):
+    squeeze, [epconv], pose_0, pose_1, pose_2.
+    """
+    prefix = "net." if any(k.startswith("net.") for k in sd) else ""
+
+    def cw(key):
+        return _conv(np.asarray(sd[prefix + key + ".weight"]))
+
+    def cb(key):
+        return np.asarray(sd[prefix + key + ".bias"])
+
+    params: Dict = {}
+    idx = 0
+    params["squeeze_0"] = {"kernel": cw(f"{idx}"), "bias": cb(f"{idx}")}
+    idx += 1
+    if num_ep > 0:
+        params["epconv"] = {
+            "conv0": {"kernel": cw(f"{idx}.0"), "bias": cb(f"{idx}.0")},
+            "conv1": {"kernel": cw(f"{idx}.2"), "bias": cb(f"{idx}.2")},
+        }
+        idx += 1
+    for i in range(3):
+        params[f"pose_{i}"] = {"kernel": cw(f"{idx}"), "bias": cb(f"{idx}")}
+        idx += 1
+    return params
+
+
 def save_converted(path: str, variables: Dict) -> int:
     """Write a nested variables dict ({"params": ..., ...}) as a flat .npz
     ('/'-joined keys); inverse of :func:`load_converted`."""

@@ -137,6 +137,70 @@ def test_full_forward_matches_reference(ref_nets):
     )
 
 
+def test_pose_networks_match_reference(ref_nets):
+    """ResnetPoseEncoder + PoseDecoder forward parity vs the live torch
+    reference (the monocular-training pose path, trainer.py:92-94)."""
+    import networks
+
+    from planedepth_tpu.models.pose_net import PoseDecoder
+    from planedepth_tpu.models.resnet import (
+        ResnetPoseEncoder, encoder_channels,
+    )
+    from planedepth_tpu.utils.torch_convert import convert_pose_decoder
+
+    torch.manual_seed(1)
+    enc_t = networks.ResnetPoseEncoder(18, False, num_input_images=2)
+    dec_t = networks.PoseDecoder(
+        enc_t.num_ch_enc, num_input_features=1,
+        num_frames_to_predict_for=1, num_ep=8,
+    )
+    enc_t.eval()
+    dec_t.eval()
+
+    rng = np.random.default_rng(2)
+    stacked = rng.random((2, H, W, 6), dtype=np.float32)
+    gx, gy = np.meshgrid(
+        np.linspace(-1, 1, W, dtype=np.float32),
+        np.linspace(-1, 1, H, dtype=np.float32),
+    )
+    grid = np.broadcast_to(
+        np.stack([gx, gy], -1)[None], (2, H, W, 2)
+    ).astype(np.float32)
+
+    with torch.no_grad():
+        t_in = torch.from_numpy(np.transpose(stacked, (0, 3, 1, 2)))
+        t_grid = torch.from_numpy(np.transpose(grid, (0, 3, 1, 2)))
+        feats_t = enc_t(t_in)
+        aa_t, tr_t = dec_t([feats_t], t_grid)
+
+    enc_sd = {k: v.numpy() for k, v in enc_t.state_dict().items()}
+    trunk_p, trunk_s = convert_resnet_trunk(enc_sd, prefix="encoder.")
+    dec_p = convert_pose_decoder(
+        {k: v.numpy() for k, v in dec_t.state_dict().items()}, num_ep=8
+    )
+
+    enc_j = ResnetPoseEncoder(18, num_input_images=2)
+    feats_j = enc_j.apply(
+        {"params": {"encoder": trunk_p},
+         "batch_stats": {"encoder": trunk_s}},
+        jnp.asarray(stacked), False,
+    )
+    dec_j = PoseDecoder(
+        num_ch_enc=tuple(encoder_channels(18)), num_input_features=1,
+        num_frames_to_predict_for=1, num_ep=8,
+    )
+    aa_j, tr_j = dec_j.apply(
+        {"params": dec_p}, [feats_j], jnp.asarray(grid)
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(aa_j), aa_t.numpy(), rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(tr_j), tr_t.numpy(), rtol=1e-3, atol=1e-6
+    )
+
+
 def test_plane_volume_matches_reference(ref_nets):
     """The geometry alone (disp_layered / padding_mask / distance / norm)
     pinned against the reference decoder's plane construction."""
