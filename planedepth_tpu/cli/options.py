@@ -72,7 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--milestones", nargs="*", type=int, default=[30, 40])
     p.add_argument("--start_epoch", type=int, default=0)
     # system
-    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--num_workers", type=int, default=12)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--no_bf16", action="store_true")
     # performance (TPU memory/throughput trade-offs, see config.py)
@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="row-constant custom-VJP warp sampler")
     p.add_argument("--warp_sample_bf16", action="store_true",
                    help="sample warped plane stacks in bfloat16")
+    p.add_argument("--fused_head", type=str, default="auto",
+                   choices=["auto", "off", "interpret"],
+                   help="fused Pallas expected-disparity head")
+    p.add_argument("--s2d_tail", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="space-to-depth decoder tail (TPU layout fix)")
     # loading
     p.add_argument("--load_weights_folder", type=str, default=None)
     p.add_argument("--models_to_load", nargs="+", type=str,
@@ -135,6 +141,8 @@ _FLAG_MAP = {
     "remat_warp": (None, "remat_warp", _IDENT),
     "rowshift_warp": (None, "rowshift_warp", _IDENT),
     "warp_sample_bf16": (None, "warp_sample_bf16", _IDENT),
+    "fused_head": ("model", "fused_head", _IDENT),
+    "s2d_tail": ("model", "s2d_tail", _IDENT),
     "net_type": ("model", "net_type", _IDENT),
     "num_layers": ("model", "num_layers", _IDENT),
     "num_ep": ("model", "num_ep", _IDENT),

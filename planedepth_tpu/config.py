@@ -60,6 +60,11 @@ class ModelConfig:
     # loss path is active (the kernels upcast in VMEM; f32 would only add
     # ~2 GB of HBM tensors + transposes per HR step)
     fused_head_bf16: bool = False
+    # the fused Pallas SWEEP computes the expected-disparity head from its
+    # center samples (ops/pallas_sweep.py with_disp) — set by ModelBundle
+    # whenever the fused loss path is active; the decoder then emits no
+    # disp/depth in train mode
+    fused_sweep_loss: bool = False
     # space-to-depth decoder tail (models/s2d.py): run the finest decoder
     # scale phase-packed so no (H, W, 16) tensor — 8x lane-padded on TPU —
     # ever materializes.  "auto" = TPU backends, "on"/"off" force.

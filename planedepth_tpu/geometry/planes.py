@@ -58,6 +58,14 @@ def build_plane_volume(
     no, xz, yz = cfg.disp_levels, cfg.xz_levels, cfg.yz_levels
     dw = 0.1 * 0.58 * width
 
+    # Without yz side planes every per-plane quantity is ROW-CONSTANT
+    # (vertical: constant; xz ground: a function of y only — the aug grid
+    # is rectilinear, so y is constant along W).  Build with a 1-wide W
+    # axis and broadcast lazily at the end: XLA then fuses the broadcast
+    # into the consumers instead of materializing two ~1 GB f32
+    # (B, H, W, N) tensors per HR step (r3 trace finding).
+    W_b = 1 if yz == 0 else W_g
+
     def resid(lo, hi):
         if residual_levels is None:
             return 0.0
@@ -74,8 +82,8 @@ def build_plane_volume(
     normal = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 1.0], dtype)[None, None, :], (B, no, 3)
     )
-    disp_layered = jnp.broadcast_to(disp_v[:, None, None, :], (B, H, W_g, no))
-    padding = jnp.ones((B, H, W_g, no), dtype)
+    disp_layered = jnp.broadcast_to(disp_v[:, None, None, :], (B, H, W_b, no))
+    padding = jnp.ones((B, H, W_b, no), dtype)
 
     parts_d = [disp_layered]
     parts_m = [padding]
@@ -83,7 +91,7 @@ def build_plane_volume(
     parts_n = [normal]
 
     gx = grid[..., 0]                                                 # (B, H, W)
-    gy = grid[..., 1]
+    gy = grid[..., 1] if yz > 0 else grid[:, :, :1, 1]
     # per-row half-extent of the virtual-camera x range (B, H, 1)
     fs_row = (gx[:, :, -1:] - gx[:, :, :1]) / 2.0
 
@@ -167,9 +175,15 @@ def build_plane_volume(
         parts_n.append(jnp.concatenate([n_r, n_l], axis=1))
         parts_dist.append(h_yz * n_scale[:, None])
 
+    disp_layered = jnp.concatenate(parts_d, axis=-1)
+    padding_mask = jnp.concatenate(parts_m, axis=-1)
+    if W_b != W_g:
+        N = disp_layered.shape[-1]
+        disp_layered = jnp.broadcast_to(disp_layered, (B, H, W_g, N))
+        padding_mask = jnp.broadcast_to(padding_mask, (B, H, W_g, N))
     return PlaneVolume(
-        disp_layered=jnp.concatenate(parts_d, axis=-1),
-        padding_mask=jnp.concatenate(parts_m, axis=-1),
+        disp_layered=disp_layered,
+        padding_mask=padding_mask,
         distance=jnp.concatenate(parts_dist, axis=-1),
         normal=jnp.concatenate(parts_n, axis=1),
     )

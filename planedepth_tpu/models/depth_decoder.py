@@ -124,6 +124,7 @@ class DepthDecoder(nn.Module):
     plane_residual: bool = True
     fused_head: str = "auto"        # auto | off | interpret
     fused_head_bf16: bool = False   # bf16 heads in train (fused loss path)
+    fused_sweep_loss: bool = False  # sweep kernel computes disp in train
     s2d_tail: str = "auto"          # auto | on | off (models/s2d.py)
     dtype: Dtype = jnp.float32
 
@@ -251,20 +252,39 @@ class DepthDecoder(nn.Module):
         # quantization of logits (~0.4% rel) would leak into abs_rel.
         head_f32 = not (fused_head and self.fused_head_bf16 and train)
 
+        def head_conv_s2d(features: int, name: str) -> jnp.ndarray:
+            from planedepth_tpu.models import s2d
+
+            kh, bh = s2d.Conv3x3Params(features, NUM_CH_DEC[0], name=name)()
+            return s2d.conv_valid(
+                s2d.phase_pad(z4, "reflect"), s2d.s2d_conv_kernel(kh),
+                s2d.tile_bias(bh), self.dtype,
+            )                                      # (B, H/2, W/2, 4*feat)
+
         def head_conv(features: int, name: str) -> jnp.ndarray:
             """Full-res 3x3 head conv, on x or (s2d path) on z4."""
             if not use_s2d:
                 return Conv3x3(features, dtype=self.dtype, name=name)(x)
             from planedepth_tpu.models import s2d
 
-            kh, bh = s2d.Conv3x3Params(features, NUM_CH_DEC[0], name=name)()
-            out4 = s2d.conv_valid(
-                s2d.phase_pad(z4, "reflect"), s2d.s2d_conv_kernel(kh),
-                s2d.tile_bias(bh), self.dtype,
-            )
-            return s2d.depth_to_space(out4)        # (B, H, W, features)
+            return s2d.depth_to_space(head_conv_s2d(features, name))
 
         n_logits = all_levels - 1 if self.render_probability else all_levels
+        if use_s2d and self.fused_sweep_loss and train:
+            # fused-sweep training with the s2d tail: emit the RAW
+            # phase-packed heads — the loss builds the kernel operands
+            # with one combined transpose and the kernel applies the
+            # (row-constant) mask itself, so the full-res NHWC
+            # logits/sigma never materialize at all
+            lg4 = head_conv_s2d(n_logits, "dispconv")
+            sg4 = head_conv_s2d(all_levels, "sigmaconv")
+            if head_f32:
+                lg4 = lg4.astype(jnp.float32)
+                sg4 = sg4.astype(jnp.float32)
+            outputs["logits_s2d"] = lg4
+            outputs["sigma_s2d"] = jnp.clip(nn.sigmoid(sg4), 0.01, 1.0)
+            return outputs
+
         logits = head_conv(n_logits, "dispconv")
         if head_f32:
             logits = logits.astype(jnp.float32)
@@ -293,6 +313,13 @@ class DepthDecoder(nn.Module):
             )
 
         outputs["probability"] = probability
+        if self.fused_sweep_loss and train:
+            # fused training: the SWEEP kernel computes the expected
+            # disparity from its own streamed center samples
+            # (ops/pallas_sweep.py with_disp; consumed by
+            # train/step.py:fused_stereo_losses) — the decoder emits no
+            # disp/depth at all in this mode
+            return outputs
         if fused_head:
             # one streaming Pallas pass (softmax + mixture reweight +
             # contraction, hand VJP) — lets XLA dead-code the f32

@@ -46,6 +46,7 @@ class DepthModel(nn.Module):
                 plane_residual=c.plane_residual,
                 fused_head=c.fused_head,
                 fused_head_bf16=c.fused_head_bf16,
+                fused_sweep_loss=c.fused_sweep_loss,
                 s2d_tail=c.s2d_tail,
                 dtype=self.dtype,
                 name="depth",

@@ -181,24 +181,31 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad):
             sample_lsd_rows, sample_lsd_vec, sample_cd_rows, sample_cd_vec)
 
 
+def _row_col(ref, n, R):
+    """(R, 1) column from R SMEM scalars of plane n (ref block (R, N))."""
+    return jnp.stack([ref[r, n] for r in range(R)]).reshape(R, 1)
+
+
 def _fwd_kernel(
     shift_ref,   # (R, N) SMEM  signed source offsets
     mask_ref,    # (R, N) SMEM  row plane-validity
     src_ref,     # (3, R, Wp) VMEM padded source rows
     tgt_ref,     # (3, R, W)  VMEM target rows
     ls_ref,      # (2N, R, Wp) VMEM padded interleaved logits/sigma
-    rgb_ref,     # (3, R, W)  out
-    nll_ref,     # (R, W)     out
-    nlla_ref,    # (R, W)     out
-    l_scr,       # (N, R, W) VMEM scratch: e = exp(l - max) (see pass 2)
-    s_scr,       # (N, R, W) VMEM scratch: sampled+clamped sigmas
-    *,
+    *refs,       # rgb, nll, nlla [, disp] outs + scratches l, s [, l0, s0]
     n_planes: int,
     n_vertical: int,
     rows: int,
     width: int,
     pad: int,
+    with_disp: bool = False,
 ):
+    if with_disp:
+        (rgb_ref, nll_ref, nlla_ref, disp_ref, l_scr, s_scr,
+         l0_scr, s0_scr) = refs
+    else:
+        rgb_ref, nll_ref, nlla_ref, l_scr, s_scr = refs
+        disp_ref = l0_scr = s0_scr = None
     N, R, W = n_planes, rows, width
     NV = n_vertical
     WQ = W + 128            # aligned window: residual lane shift < 128
@@ -214,16 +221,37 @@ def _fwd_kernel(
         s_scr[n] = s_n
         return l_n
 
-    # ---- pass 1: logits & sigma samples + running max (no exp) -------------
+    # ---- pass 1: logits & sigma samples + running max (no exp).  With
+    # the fused expected-disparity head, also cache the CENTER (unshifted)
+    # samples — static slices, no windows (ops/pallas_disp.py semantics:
+    # l0 masked, s0 clipped unmasked, u weighted by the mask) ------------
     def pass1(sampler):
-        def body(n, m_run):
-            return jnp.maximum(m_run, fill(n, sampler))
+        def body(n, carry):
+            if not with_disp:
+                return jnp.maximum(carry, fill(n, sampler))
+            mx, mx0 = carry
+            m = _row_col(mask_ref, n, R)
+            l0 = ls_ref[2 * n, :, pl.ds(pad, W)].astype(F32) * m
+            s0 = jnp.clip(
+                ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32), 0.01, 1.0
+            )
+            l0_scr[n] = l0
+            s0_scr[n] = s0
+            return (jnp.maximum(mx, fill(n, sampler)),
+                    jnp.maximum(mx0, l0))
         return body
 
-    mx = jax.lax.fori_loop(
-        0, NV, pass1(sample_ls_vec), jnp.full((R, W), -1e30, F32)
-    )
-    mx = jax.lax.fori_loop(NV, N, pass1(sample_ls_rows), mx)
+    if with_disp:
+        init = (jnp.full((R, W), -1e30, F32), jnp.full((R, W), -1e30, F32))
+    else:
+        init = jnp.full((R, W), -1e30, F32)
+    carry = jax.lax.fori_loop(0, NV, pass1(sample_ls_vec), init)
+    carry = jax.lax.fori_loop(NV, N, pass1(sample_ls_rows), carry)
+    mx0 = None
+    if with_disp:
+        mx, mx0 = carry
+    else:
+        mx = carry
 
     # ---- pass 2: colors + e-linear accumulators in ONE pass ----------------
     # every sum is LINEAR in e_n = exp(l_n - max):
@@ -232,7 +260,8 @@ def _fwd_kernel(
     #   rgb'= sum (e/s) c
     #   M'  = sum e lap, Ma' = sum e lapa   (=> M = M'/se)
     # so the old scratch-only exp pass folds away; e is cached in place of
-    # l for any later consumer.
+    # l for any later consumer.  The center (disp-head) sums se0/us0/ud0
+    # ride the same loop.
     tgt = tgt_ref[...].astype(F32)                        # (3, R, W)
     e_auto = (
         jnp.abs(src_ref[:, :, pl.ds(pad, W)].astype(F32) - tgt).sum(0) / 3.0
@@ -240,7 +269,7 @@ def _fwd_kernel(
 
     def pass2(sampler):
         def body(n, carry):
-            se, us, rgb_acc, M, Ma = carry
+            se, us, rgb_acc, M, Ma = carry[:5]
             e_n = jnp.exp(l_scr[n] - mx)
             l_scr[n] = e_n               # overwrite: raw l is dead now
             s_n = s_scr[n]
@@ -250,16 +279,25 @@ def _fwd_kernel(
             err_n = jnp.abs(c_n - tgt).sum(0) / 3.0
             M = M + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
             Ma = Ma + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
-            return se + e_n, us + u_n, rgb_acc, M, Ma
+            head = (se + e_n, us + u_n, rgb_acc, M, Ma)
+            if not with_disp:
+                return head
+            se0, us0, ud0 = carry[5:]
+            e0_n = jnp.exp(l0_scr[n] - mx0)
+            l0_scr[n] = e0_n             # cache e0 for the bwd twin
+            u0_n = e0_n * _row_col(mask_ref, n, R) / s0_scr[n]
+            return head + (se0 + e0_n, us0 + u0_n,
+                           ud0 + u0_n * _row_col(shift_ref, n, R))
         return body
 
+    n_carry = 8 if with_disp else 5
     carry = (jnp.zeros((R, W), F32), jnp.zeros((R, W), F32),
-             jnp.zeros((3, R, W), F32), jnp.zeros((R, W), F32),
-             jnp.zeros((R, W), F32))
-    carry = jax.lax.fori_loop(0, NV, pass2(sample_c_vec), carry)
-    se, us, rgb_acc, M, Ma = jax.lax.fori_loop(
-        NV, N, pass2(sample_c_rows), carry
+             jnp.zeros((3, R, W), F32)) + tuple(
+        jnp.zeros((R, W), F32) for _ in range(n_carry - 3)
     )
+    carry = jax.lax.fori_loop(0, NV, pass2(sample_c_vec), carry)
+    carry = jax.lax.fori_loop(NV, N, pass2(sample_c_rows), carry)
+    se, us, rgb_acc, M, Ma = carry[:5]
     inv_se = 1.0 / se                        # se >= exp(0) = 1 at the max
     U = us * inv_se
     # rgb = sum (pi/s) c * inv(U) = (inv_se * rgb') * inv(us * inv_se)
@@ -271,6 +309,11 @@ def _fwd_kernel(
     rgb_ref[...] = (rgb_acc * inv_us[None]).astype(rgb_ref.dtype)
     nll_ref[...] = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
     nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
+    if with_disp:
+        se0, us0, ud0 = carry[5:]
+        U0 = us0 / se0
+        inv_us0 = jnp.where(U0 > 1e-7, 1.0 / jnp.maximum(us0, 1e-30), 0.0)
+        disp_ref[...] = (ud0 * inv_us0).astype(disp_ref.dtype)
 
 
 def _bwd_kernel(
@@ -282,14 +325,16 @@ def _bwd_kernel(
     grgb_ref,    # (3, R, W) cotangent of rgb_rec
     gnll_ref,    # (R, W)
     gnla_ref,    # (R, W)
-    *refs,       # [dsrc, dtgt when image_grads] dlog, dsig, dshift outs +
-                 # scratches l, s, ld, sd, c, cd, g
+    *refs,       # [gdisp when with_disp] [dsrc, dtgt when image_grads]
+                 # dlog, dsig, dshift outs + scratches l, s, ld, sd, c,
+                 # cd, g [, l0, s0]
     n_planes: int,
     n_vertical: int,
     rows: int,
     width: int,
     pad: int,
     image_grads: bool = True,
+    with_disp: bool = False,
 ):
     """Adjoint of _fwd_kernel, same slicing structure, scatter-free.
 
@@ -310,6 +355,13 @@ def _bwd_kernel(
     step never differentiates w.r.t. the batch images, so this is the
     production configuration.
     """
+    refs = list(refs)
+    gdisp_ref = refs.pop(0) if with_disp else None
+    if with_disp:
+        l0_scr, s0_scr = refs[-2:]
+        refs = refs[:-2]
+    else:
+        l0_scr = s0_scr = None
     if image_grads:
         (dsrc_ref, dtgt_ref, dlog_ref, dsig_ref, dshift_ref,
          l_scr, s_scr, ld_scr, sd_scr, c_scr, cd_scr, g_scr) = refs
@@ -353,19 +405,36 @@ def _bwd_kernel(
 
     # ---- forward recomputation: scratches + running max (no exp) -----------
     def pass1(sampler):
-        def body(n, m_run):
+        def body(n, carry):
             l_n, s_n, ld_n, sd_n = sampler(n)
             l_scr[n] = l_n
             s_scr[n] = s_n
             ld_scr[n] = ld_n
             sd_scr[n] = sd_n
-            return jnp.maximum(m_run, l_n)
+            if not with_disp:
+                return jnp.maximum(carry, l_n)
+            mx, mx0 = carry
+            m = _row_col(mask_ref, n, R)
+            l0 = ls_ref[2 * n, :, pl.ds(pad, W)].astype(F32) * m
+            s0 = jnp.clip(
+                ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32), 0.01, 1.0
+            )
+            l0_scr[n] = l0
+            s0_scr[n] = s0
+            return jnp.maximum(mx, l_n), jnp.maximum(mx0, l0)
         return body
 
-    mx = jax.lax.fori_loop(
-        0, NV, pass1(sample_lsd_vec), jnp.full((R, W), -1e30, F32)
-    )
-    mx = jax.lax.fori_loop(NV, N, pass1(sample_lsd_rows), mx)
+    if with_disp:
+        init = (jnp.full((R, W), -1e30, F32), jnp.full((R, W), -1e30, F32))
+    else:
+        init = jnp.full((R, W), -1e30, F32)
+    carry1 = jax.lax.fori_loop(0, NV, pass1(sample_lsd_vec), init)
+    carry1 = jax.lax.fori_loop(NV, N, pass1(sample_lsd_rows), carry1)
+    mx0 = None
+    if with_disp:
+        mx, mx0 = carry1
+    else:
+        mx = carry1
 
     tgt = tgt_ref[...].astype(F32)
     G = grgb_ref[...].astype(F32)
@@ -378,7 +447,7 @@ def _bwd_kernel(
     # ---- couplings pass: e-linear accumulators (exp pass folded in) --------
     # se/U'/A'/M' [, Ma', dEa'] are all LINEAR in e_n = exp(l_n - max);
     # scale by inv_se once after the loop.  e is cached in place of l for
-    # the emission pass.
+    # the emission pass.  The center (disp-head) sums ride along.
     def pass2(sampler):
         def body(n, carry):
             se, U, A, M = carry[:4]
@@ -395,15 +464,23 @@ def _bwd_kernel(
             U = U + u_n
             A = A + (G * c_n).sum(0) * u_n
             M = M + e_n * lap_n
-            if not image_grads:
-                return se, U, A, M
-            lapa_n = 0.5 * jnp.exp(-e_auto / s_n) / s_n
-            Ma, dEa = carry[4:]
-            return (se, U, A, M, Ma + e_n * lapa_n,
-                    dEa + e_n * lapa_n * (-1.0 / s_n))
+            out = (se, U, A, M)
+            if image_grads:
+                lapa_n = 0.5 * jnp.exp(-e_auto / s_n) / s_n
+                Ma, dEa = carry[4:6]
+                out = out + (Ma + e_n * lapa_n,
+                             dEa + e_n * lapa_n * (-1.0 / s_n))
+            if with_disp:
+                se0, us0, ud0 = carry[-3:]
+                e0_n = jnp.exp(l0_scr[n] - mx0)
+                l0_scr[n] = e0_n         # cache e0 for emission
+                u0_n = e0_n * _row_col(mask_ref, n, R) / s0_scr[n]
+                out = out + (se0 + e0_n, us0 + u0_n,
+                             ud0 + u0_n * _row_col(shift_ref, n, R))
+            return out
         return body
 
-    n_carry = 6 if image_grads else 4
+    n_carry = (6 if image_grads else 4) + (3 if with_disp else 0)
     carry = tuple(jnp.zeros((R, W), F32) for _ in range(n_carry))
     carry = jax.lax.fori_loop(0, NV, pass2(sample_cd_vec), carry)
     carry = jax.lax.fori_loop(NV, N, pass2(sample_cd_rows), carry)
@@ -416,6 +493,19 @@ def _bwd_kernel(
     dM = -gN * (M > 0) / (jnp.maximum(M, 0.0) + 1e-7)
     dU = -(inv_u**2) * A * (U > 1e-7)
     S = inv_u * A + dM * M + dU * U
+
+    # ---- center (fused disp head) adjoint precomputation -------------------
+    # disp = sum(u0 d)/sum(u0) (guarded): the softmax/U coupling term
+    # vanishes analytically (S0 = g/U0 * inv_se0 * (ud0 - disp*us0) = 0),
+    # leaving per-plane-local gradients (see ops/pallas_disp.py math).
+    if with_disp:
+        se0, us0, ud0 = carry[-3:]
+        inv_se0 = 1.0 / se0
+        U0 = us0 * inv_se0
+        live0 = (U0 > 1e-7).astype(F32)
+        disp0 = jnp.where(U0 > 1e-7, ud0 / jnp.maximum(us0, 1e-30), 0.0)
+        gD = gdisp_ref[...].astype(F32) * live0
+        g_over_u0 = gD / jnp.maximum(U0, 1e-7)
 
     # ---- emission (no forward sampling — everything is in scratch) ---------
     if image_grads:
@@ -431,7 +521,8 @@ def _bwd_kernel(
     g_scr[...] = jnp.zeros((3, R, WG), F32)
 
     def plane_grads(n):
-        """Shared per-plane adjoint algebra -> (dl, ds_gated, dc, dshift)."""
+        """Shared per-plane adjoint algebra ->
+        (dl, ds_gated, dc, dshift, dl0, ds0)."""
         c_n = c_scr[n]
         pi_n = l_scr[n] * inv_se
         s_n = s_scr[n]
@@ -460,10 +551,29 @@ def _bwd_kernel(
             jnp.sum(dl_n * ld_scr[n] + ds_gate * sd_scr[n], axis=1)
             + jnp.sum(dc_n * cd_scr[n], axis=(0, 2))
         )                                                   # (R,)
-        return dl_n, ds_gate, dc_n, dshift_r
+        dl0_n = ds0_n = None
+        if with_disp:
+            m = _row_col(mask_ref, n, R)
+            p0_n = l0_scr[n] * inv_se0                      # e0 cached
+            s0_n = s0_scr[n]
+            du0 = g_over_u0 * (_row_col(shift_ref, n, R) - disp0)
+            dp0 = du0 * m / s0_n
+            dl0_n = p0_n * dp0          # softmax coupling S0 == 0
+            ds0_n = -du0 * p0_n * m / (s0_n * s0_n)
+            # shift doubles as the per-plane disparity d_n: its cotangent
+            # gains the disp-head term sum_x g/U0 * u0
+            dshift_r = dshift_r + jnp.sum(
+                g_over_u0 * p0_n * m / s0_n, axis=1
+            )
+        return dl_n, ds_gate, dc_n, dshift_r, dl0_n, ds0_n
+
+    def center_add(back_l, back_s, dl0_n, ds0_n):
+        if not with_disp:
+            return back_l, back_s
+        return back_l + dl0_n, back_s + ds0_n
 
     def pass3_vec(n, _):
-        dl_n, ds_g, dc_n, dshift_r = plane_grads(n)
+        dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n = plane_grads(n)
         p, f = taps(0, n)
         m = mask_ref[0, n]
         rev = 2 * pad - p
@@ -477,12 +587,13 @@ def _bwd_kernel(
         g_scr[0, :, pl.ds(pad, W)] = dl_n * m
         g_scr[1, :, pl.ds(pad, W)] = ds_g * m
         back2 = g_back_vec(rev, f)
-        dlog_ref[n] = back2[0].astype(dlog_ref.dtype)
-        dsig_ref[n] = back2[1].astype(dsig_ref.dtype)
+        bl, bs = center_add(back2[0], back2[1], dl0_n, ds0_n)
+        dlog_ref[n] = bl.astype(dlog_ref.dtype)
+        dsig_ref[n] = bs.astype(dsig_ref.dtype)
         return 0
 
     def pass3_rows(n, _):
-        dl_n, ds_g, dc_n, dshift_r = plane_grads(n)
+        dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n = plane_grads(n)
         dshift_ref[n] = jnp.broadcast_to(dshift_r[:, None], (R, 128))
 
         if image_grads:
@@ -502,8 +613,13 @@ def _bwd_kernel(
         for r in range(R):
             p, f = taps(r, n)
             back = g_back(r, 2 * pad - p, f)
-            dlog_ref[n, pl.ds(r, 1)] = back[0].astype(dlog_ref.dtype)
-            dsig_ref[n, pl.ds(r, 1)] = back[1].astype(dsig_ref.dtype)
+            if with_disp:
+                bl = back[0] + dl0_n[r : r + 1]
+                bs = back[1] + ds0_n[r : r + 1]
+            else:
+                bl, bs = back[0], back[1]
+            dlog_ref[n, pl.ds(r, 1)] = bl.astype(dlog_ref.dtype)
+            dsig_ref[n, pl.ds(r, 1)] = bs.astype(dsig_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, NV, pass3_vec, 0)
@@ -529,11 +645,12 @@ def _pack_ls(logits_t, sigma_t, pad):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pad", "rows", "interpret", "n_vertical")
+    jax.jit,
+    static_argnames=("pad", "rows", "interpret", "n_vertical", "with_disp"),
 )
 def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                   pad: int, rows: int = 8, interpret: bool = False,
-                  n_vertical: int = 0):
+                  n_vertical: int = 0, with_disp: bool = False):
     """Run the fused forward kernel.
 
     Args:
@@ -542,9 +659,14 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
       shift: ``(B, H, N)`` signed source offsets in pixels (row-constant).
       mask: ``(B, H, N)`` plane validity.
       pad: static W padding >= max |shift| + 1.
+      with_disp: also emit the expected-disparity head over the CENTER
+        (unshifted) samples — the ops/pallas_disp.py computation fused
+        into the same data streaming (``shift`` doubles as the per-plane
+        row disparities, which is exactly the stereo train-step setup).
 
     Returns:
-      (rgb_rec (B, 3, H, W) f32, nll (B, H, W) f32, nll_auto (B, H, W) f32)
+      (rgb_rec (B, 3, H, W) f32, nll (B, H, W) f32, nll_auto (B, H, W) f32
+       [, disp (B, H, W) f32])
     """
     B, _, H, W = src_t.shape
     N = logits_t.shape[1]
@@ -563,10 +685,13 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
 
     kernel = functools.partial(
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
-        pad=pad,
+        pad=pad, with_disp=with_disp,
     )
 
-    rgb, nll, nlla = pl.pallas_call(
+    row_spec = pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
+                            memory_space=pltpu.VMEM)
+    row_shape = jax.ShapeDtypeStruct((B, H, W), F32)
+    outs = pl.pallas_call(
         kernel,
         grid=(B, H // R),
         in_specs=[
@@ -584,20 +709,17 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
         out_specs=[
             pl.BlockSpec((None, 3, R, W), lambda b, h: (b, 0, h, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+            row_spec, row_spec,
+        ] + ([row_spec] if with_disp else []),
         out_shape=[
             jax.ShapeDtypeStruct((B, 3, H, W), F32),
-            jax.ShapeDtypeStruct((B, H, W), F32),
-            jax.ShapeDtypeStruct((B, H, W), F32),
-        ],
+            row_shape, row_shape,
+        ] + ([row_shape] if with_disp else []),
         scratch_shapes=[
             pltpu.VMEM((N, R, W), F32),
             pltpu.VMEM((N, R, W), F32),
-        ],
+        ] + ([pltpu.VMEM((N, R, W), F32),
+              pltpu.VMEM((N, R, W), F32)] if with_disp else []),
         compiler_params=pltpu.CompilerParams(
             # full-plane blocks + double buffering exceed the default 16M
             # scoped budget; v5e has 128M physical VMEM per core
@@ -605,23 +727,27 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
         ),
         interpret=interpret,
     )(shift, mask, src_p, target_t, ls_p)
-    return rgb, nll, nlla
+    return tuple(outs)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pad", "rows", "interpret", "n_vertical", "image_grads"),
+    static_argnames=(
+        "pad", "rows", "interpret", "n_vertical", "image_grads", "with_disp",
+    ),
 )
 def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
-                   g_rgb, g_nll, g_nla,
-                   pad: int, rows: int = 8, interpret: bool = False,
-                   n_vertical: int = 0, image_grads: bool = True):
+                   g_rgb, g_nll, g_nla, g_disp=None,
+                   pad: int = 0, rows: int = 8, interpret: bool = False,
+                   n_vertical: int = 0, image_grads: bool = True,
+                   with_disp: bool = False):
     """Pallas backward kernel invocation (adjoint of sweep_forward).
 
     ``image_grads=False`` (the train-step configuration — images are
     never differentiated) skips the d_src/d_tgt outputs and the automask
     adjoint inside the kernel.  d_log/d_sig are emitted in the INPUT
     dtype (bf16 in production), halving their HBM write+readback.
+    ``with_disp`` consumes the expected-disparity cotangent too.
     """
     B, _, H, W = src_t.shape
     N = logits_t.shape[1]
@@ -636,7 +762,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
 
     kernel = functools.partial(
         _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
-        pad=pad, image_grads=image_grads,
+        pad=pad, image_grads=image_grads, with_disp=with_disp,
     )
 
     def vspec(shape_prefix, Wd):
@@ -654,6 +780,13 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     img_shapes = (
         [jax.ShapeDtypeStruct((B, 3, H, W), F32)] * 2 if image_grads else []
     )
+    row_in_spec = pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
+                               memory_space=pltpu.VMEM)
+    ct_args = [g_rgb, g_nll, g_nla]
+    ct_specs = [vspec((3, R), W), row_in_spec, row_in_spec]
+    if with_disp:
+        ct_args.append(g_disp)
+        ct_specs.append(row_in_spec)
     outs = pl.pallas_call(
         kernel,
         grid=(B, H // R),
@@ -661,12 +794,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
             smem_spec, smem_spec,
             vspec((3, R), Wp), vspec((3, R), W),
             vspec((2 * N, R), Wp),
-            vspec((3, R), W),
-            pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + ct_specs,
         out_specs=img_specs + [
             vspec((N, R), W),            # d_log
             vspec((N, R), W),            # d_sig
@@ -685,12 +813,14 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
             pltpu.VMEM((N, 3, R, W), F32),    # c
             pltpu.VMEM((N, 3, R, W), F32),    # cd
             pltpu.VMEM((3, R, WG), F32),      # reverse-window staging
-        ],
+        ] + ([pltpu.VMEM((N, R, W), F32),     # e0 (center)
+              pltpu.VMEM((N, R, W), F32)]     # s0
+             if with_disp else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(shift, mask, src_p, target_t, ls_p, g_rgb, g_nll, g_nla)
+    )(shift, mask, src_p, target_t, ls_p, *ct_args)
 
     if image_grads:
         d_src, d_tgt, d_log, d_sig, d_shift_b = outs
@@ -789,6 +919,22 @@ def oracle_dense(src_t, target_t, logits_t, sigma_t, shift, mask):
     nll = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
     nlla = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
     return rgb, nll, nlla
+
+
+def oracle_disp_center(logits_t, sigma_t, shift, mask):
+    """Differentiable XLA reference of the fused CENTER disp head:
+    softmax + mixture reweight + contraction at shift 0 (the
+    ops/pallas_disp.py semantics; ``shift`` provides the per-plane row
+    disparities)."""
+    m_t = jnp.moveaxis(mask, -1, 1)[..., None].astype(F32)    # (B,N,H,1)
+    d_t = jnp.moveaxis(shift, -1, 1)[..., None].astype(F32)
+    lm = logits_t.astype(F32) * m_t
+    p = jax.nn.softmax(lm, axis=1)
+    s = jnp.clip(sigma_t.astype(F32), 0.01, 1.0)
+    u = p * m_t / s
+    U = u.sum(1)
+    D = (u * d_t).sum(1)
+    return jnp.where(U > 1e-7, D / jnp.maximum(U, 1e-7), 0.0)
 
 
 def _adjoint_shift(g, k, f, W):
@@ -987,36 +1133,41 @@ def _shift_gather_int(maps, k, W):
     return jnp.where(valid[:, None], g, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
                       pad: int, interpret: bool = False,
-                      n_vertical: int = 0, image_grads: bool = True):
+                      n_vertical: int = 0, image_grads: bool = True,
+                      with_disp: bool = False):
     """Fused plane-sweep: Pallas forward + hand-derived scatter-free VJP.
 
     The automask NLL treats pi/sigma as constants by definition (reference
     trainer.py:733) — the adjoint honors that.  ``image_grads=False``
     returns ZERO cotangents for src/tgt (the train step never
     differentiates the batch images) and skips their computation.
+    ``with_disp`` appends the fused expected-disparity head output
+    (center samples; ``shift`` doubles as the plane disparities).
     """
     return sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                          pad=pad, interpret=interpret,
-                         n_vertical=n_vertical)
+                         n_vertical=n_vertical, with_disp=with_disp)
 
 
 def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
-             interpret, n_vertical, image_grads):
+             interpret, n_vertical, image_grads, with_disp):
     out = sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
-                        pad=pad, interpret=interpret, n_vertical=n_vertical)
+                        pad=pad, interpret=interpret, n_vertical=n_vertical,
+                        with_disp=with_disp)
     return out, (src_t, target_t, logits_t, sigma_t, shift, mask)
 
 
-def _fps_bwd(pad, interpret, n_vertical, image_grads, res, cts):
+def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, res, cts):
     src_t, target_t, logits_t, sigma_t, shift, mask = res
-    g_rgb, g_nll, g_nla = [x.astype(F32) for x in cts]
+    cts = [x.astype(F32) for x in cts]
+    g_disp = cts[3] if with_disp else None
     return sweep_backward(
         src_t, target_t, logits_t, sigma_t, shift, mask,
-        g_rgb, g_nll, g_nla, pad=pad, interpret=interpret,
-        n_vertical=n_vertical, image_grads=image_grads,
+        cts[0], cts[1], cts[2], g_disp, pad=pad, interpret=interpret,
+        n_vertical=n_vertical, image_grads=image_grads, with_disp=with_disp,
     )
 
 

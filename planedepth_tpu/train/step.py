@@ -46,12 +46,17 @@ class ModelBundle:
     def __init__(self, cfg: TrainConfig):
         self.cfg = cfg
         model_cfg = cfg.model
-        if cfg.bf16 and fused_sweep_ok(cfg):
+        if fused_sweep_ok(cfg):
             # the fused loss path consumes logits/sigma through the Pallas
-            # kernels (VMEM upcast) — keep the train-mode heads bf16
+            # sweep, which also computes the expected-disparity head from
+            # its center samples; with bf16 the train-mode heads stay bf16
+            # (the kernels upcast in VMEM)
             import dataclasses
 
-            model_cfg = dataclasses.replace(model_cfg, fused_head_bf16=True)
+            model_cfg = dataclasses.replace(
+                model_cfg, fused_sweep_loss=True,
+                fused_head_bf16=cfg.bf16,
+            )
         self.depth = build_depth_model(model_cfg, bf16=cfg.bf16)
         self.pose_encoder = None
         self.pose = None
@@ -339,8 +344,23 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     in_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
     tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
-    logits_t = jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1)
-    sigma_t = jnp.moveaxis(outputs["sigma"].astype(in_dtype), -1, 1)
+    if "logits_s2d" in outputs:
+        # s2d decoder tail: heads arrive phase-packed (B, H/2, W/2, 4N);
+        # ONE combined transpose each builds the plane-first operands (the
+        # kernel masks its samples itself — logits stay raw)
+        def plane_first(x4):
+            Bq, Hh, Wh, C4 = x4.shape
+            n = C4 // 4
+            x = x4.astype(in_dtype).reshape(Bq, Hh, Wh, 2, 2, n)
+            return x.transpose(0, 5, 1, 3, 2, 4).reshape(
+                Bq, n, 2 * Hh, 2 * Wh
+            )
+
+        logits_t = plane_first(outputs["logits_s2d"])
+        sigma_t = plane_first(outputs["sigma_s2d"])
+    else:
+        logits_t = jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1)
+        sigma_t = jnp.moveaxis(outputs["sigma"].astype(in_dtype), -1, 1)
     shift = outputs["disp_rows"]                    # target 'r': x + disp
     mask_rows = outputs["padding_mask"][:, :, 0, :]
 
@@ -351,17 +371,25 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     from planedepth_tpu.parallel.shard import shard_kernel
 
     n_vertical = cfg.model.planes.disp_levels  # vertical: row-vectorized
+    # with_disp: the kernel also emits the expected-disparity head from
+    # its center samples whenever the decoder skipped it (bf16 fused
+    # training — models/depth_decoder.py)
+    with_disp = "disp" not in outputs
     sweep = shard_kernel(
         lambda s, t, l, sg, sh, m: fused_plane_sweep(
             s, t, l, sg, sh, m, pad, interpret, n_vertical,
             False,                   # image_grads: images are never diffed
+            with_disp,
         ),
         in_rows=(2, 2, 2, 2, 1, 1),
-        out_rows=(2, 1, 1),
+        out_rows=(2, 1, 1) + ((1,) if with_disp else ()),
     )
-    rgb_t, nll, nll_auto = sweep(
-        src_t, tgt_t, logits_t, sigma_t, shift, mask_rows
-    )
+    sweep_out = sweep(src_t, tgt_t, logits_t, sigma_t, shift, mask_rows)
+    rgb_t, nll, nll_auto = sweep_out[:3]
+    if with_disp:
+        disp = sweep_out[3][..., None]           # (B, H, W, 1)
+    else:
+        disp = outputs["disp"]
     rgb_rec = jnp.moveaxis(rgb_t, 1, -1)
 
     ph = nll[..., None]
@@ -388,14 +416,14 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         total += cfg.loss.alpha_pc * pc
 
     if cfg.loss.self_distillation > 0 and "disp_pp" in outputs:
-        disp_loss = jnp.mean(jnp.abs(outputs["disp"] - outputs["disp_pp"]))
+        disp_loss = jnp.mean(jnp.abs(disp - outputs["disp_pp"]))
         losses["loss/disp_loss"] = disp_loss
         total += cfg.loss.self_distillation * disp_loss
 
-    W = outputs["disp"].shape[2]
+    W = disp.shape[2]
     x0 = int(0.2 * W)
     smooth = smooth_loss_disp(
-        outputs["disp"][:, :, x0:, :], batch["color_l"][:, :, x0:, :],
+        disp[:, :, x0:, :], batch["color_l"][:, :, x0:, :],
         gamma=cfg.loss.gamma_smooth,
     )
     losses["loss/smooth_loss"] = smooth

@@ -17,7 +17,7 @@ pytestmark = pytest.mark.heavy
 H, W = 64, 96
 
 
-def _cfg(fused):
+def _cfg(fused, s2d="auto"):
     return TrainConfig(
         batch_size=2,
         flip_right=True,
@@ -26,6 +26,7 @@ def _cfg(fused):
             use_mixture_loss=True, plane_residual=True, num_ep=0,
             planes=PlaneConfig(disp_levels=7, disp_min=2, disp_max=24,
                                xz_levels=3, yz_levels=0),
+            s2d_tail=s2d,
         ),
         loss=LossConfig(alpha_pc=0.0, automask=True),
         data=DataConfig(height=H, width=W),
@@ -35,8 +36,8 @@ def _cfg(fused):
     )
 
 
-def _one_step(fused):
-    cfg = _cfg(fused)
+def _one_step(fused, s2d="auto"):
+    cfg = _cfg(fused, s2d)
     bundle = ModelBundle(cfg)
     params, stats, _ = bundle.init(jax.random.PRNGKey(0), H, W)
     tx = make_optimizer(cfg, 10)
@@ -48,18 +49,31 @@ def _one_step(fused):
     return state, metrics
 
 
-def test_fused_step_matches_oracle_step():
-    s_f, m_f = _one_step(True)
-    s_o, m_o = _one_step(False)
+def _assert_steps_match(a, b, rtol=2e-4, param_tol=5e-5):
+    s_f, m_f = a
+    s_o, m_o = b
     for k in ("loss/ph_loss", "loss/smooth_loss", "loss/total_loss"):
         np.testing.assert_allclose(
-            float(m_f[k]), float(m_o[k]), rtol=2e-4, err_msg=k,
+            float(m_f[k]), float(m_o[k]), rtol=rtol, err_msg=k,
         )
-    # identical parameter updates (same gradients through both paths)
     lf = jax.tree_util.tree_leaves(s_f.params)
     lo = jax.tree_util.tree_leaves(s_o.params)
     worst = max(
         float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
         for a, b in zip(lf, lo)
     )
-    assert worst < 5e-5, worst
+    assert worst < param_tol, worst
+
+
+def test_fused_step_matches_oracle_step():
+    # identical losses AND parameter updates through both paths
+    _assert_steps_match(_one_step(True), _one_step(False))
+
+
+def test_fused_s2d_step_matches_oracle_step():
+    """The full production stack — s2d decoder tail + raw phase-packed
+    heads + fused sweep with the in-kernel disparity head — must equal
+    the plain oracle step."""
+    _assert_steps_match(
+        _one_step(True, s2d="on"), _one_step(False), param_tol=1e-4
+    )

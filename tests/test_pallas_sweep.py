@@ -8,6 +8,7 @@ import pytest
 from planedepth_tpu.ops.pallas_sweep import (
     fused_plane_sweep,
     oracle_dense,
+    oracle_disp_center,
     sweep_forward,
 )
 
@@ -163,6 +164,57 @@ def test_bf16_inputs_emit_bf16_grads():
     gl32, gs32 = jax.grad(loss32, argnums=(0, 1))(logits, sigma)
     scale = float(jnp.abs(gl32).max())
     assert float(jnp.abs(gl.astype(jnp.float32) - gl32).max()) < 0.03 * scale
+
+
+def test_with_disp_forward_matches_center_oracle():
+    """The fused expected-disparity head (center samples) must equal the
+    XLA mixture_reweight/contraction chain."""
+    args = _inputs()
+    out = sweep_forward(*args, pad=PAD, rows=4, interpret=True,
+                        with_disp=True)
+    assert len(out) == 4
+    ref = oracle_disp_center(args[2], args[3], args[4], args[5])
+    np.testing.assert_allclose(np.asarray(out[3]), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # the first three outputs are unchanged by the fused head
+    base = sweep_forward(*args, pad=PAD, rows=4, interpret=True)
+    for a, b in zip(out[:3], base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_with_disp_vjp_matches_autodiff():
+    """Gradients through (rgb, nll, nlla, disp) jointly match autodiff of
+    the dense oracle + center-disp oracle — in particular the analytic
+    S0 == 0 simplification of the disp softmax coupling."""
+    args = _inputs()
+    g_rgb = jnp.asarray(RNG.standard_normal((B, 3, H, W)).astype(np.float32))
+    g_nll = jnp.asarray(RNG.standard_normal((B, H, W)).astype(np.float32))
+    g_nla = jnp.asarray(RNG.standard_normal((B, H, W)).astype(np.float32))
+    g_dsp = jnp.asarray(RNG.standard_normal((B, H, W)).astype(np.float32))
+
+    def fused(logits, sigma, shift):
+        rgb, nll, nlla, disp = fused_plane_sweep(
+            args[0], args[1], logits, sigma, shift, args[5],
+            PAD, True, 0, False, True,
+        )
+        return (jnp.sum(rgb * g_rgb) + jnp.sum(nll * g_nll)
+                + jnp.sum(nlla * g_nla) + jnp.sum(disp * g_dsp))
+
+    def oracle(logits, sigma, shift):
+        rgb, nll, nlla = oracle_dense(
+            args[0], args[1], logits, sigma, shift, args[5]
+        )
+        disp = oracle_disp_center(logits, sigma, shift, args[5])
+        return (jnp.sum(rgb * g_rgb) + jnp.sum(nll * g_nll)
+                + jnp.sum(nlla * g_nla) + jnp.sum(disp * g_dsp))
+
+    gf = jax.grad(fused, argnums=(0, 1, 2))(*args[2:5])
+    go = jax.grad(oracle, argnums=(0, 1, 2))(*args[2:5])
+    for f, o, name in zip(gf, go, ("logits", "sigma", "shift")):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(o), rtol=2e-3, atol=2e-4,
+            err_msg=name,
+        )
 
 
 def test_manual_xla_adjoint_matches_autodiff():
