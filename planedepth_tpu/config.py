@@ -186,6 +186,9 @@ class TrainConfig:
     # (Round-1 notes claiming the XLA gather path was faster were artifacts
     # of async-dispatch timing — see bench.py's methodology note.)
     fused_sweep: bool = False
+    # rows-per-block R of the sweep kernels (H must divide by it); larger
+    # blocks amortize per-plane loop overhead against VMEM pressure
+    sweep_rows: int = 8
 
     def __post_init__(self):
         if self.loss.use_mom and not self.flip_right:

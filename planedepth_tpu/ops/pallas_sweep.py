@@ -1133,11 +1133,11 @@ def _shift_gather_int(maps, k, W):
     return jnp.where(valid[:, None], g, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
 def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
                       pad: int, interpret: bool = False,
                       n_vertical: int = 0, image_grads: bool = True,
-                      with_disp: bool = False):
+                      with_disp: bool = False, rows: int = 8):
     """Fused plane-sweep: Pallas forward + hand-derived scatter-free VJP.
 
     The automask NLL treats pi/sigma as constants by definition (reference
@@ -1148,25 +1148,27 @@ def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
     (center samples; ``shift`` doubles as the plane disparities).
     """
     return sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
-                         pad=pad, interpret=interpret,
+                         pad=pad, rows=rows, interpret=interpret,
                          n_vertical=n_vertical, with_disp=with_disp)
 
 
 def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
-             interpret, n_vertical, image_grads, with_disp):
+             interpret, n_vertical, image_grads, with_disp, rows):
     out = sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
-                        pad=pad, interpret=interpret, n_vertical=n_vertical,
-                        with_disp=with_disp)
+                        pad=pad, rows=rows, interpret=interpret,
+                        n_vertical=n_vertical, with_disp=with_disp)
     return out, (src_t, target_t, logits_t, sigma_t, shift, mask)
 
 
-def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, res, cts):
+def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
+             res, cts):
     src_t, target_t, logits_t, sigma_t, shift, mask = res
     cts = [x.astype(F32) for x in cts]
     g_disp = cts[3] if with_disp else None
     return sweep_backward(
         src_t, target_t, logits_t, sigma_t, shift, mask,
-        cts[0], cts[1], cts[2], g_disp, pad=pad, interpret=interpret,
+        cts[0], cts[1], cts[2], g_disp, pad=pad, rows=rows,
+        interpret=interpret,
         n_vertical=n_vertical, image_grads=image_grads, with_disp=with_disp,
     )
 

@@ -379,10 +379,11 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         lambda s, t, l, sg, sh, m: fused_plane_sweep(
             s, t, l, sg, sh, m, pad, interpret, n_vertical,
             False,                   # image_grads: images are never diffed
-            with_disp,
+            with_disp, cfg.sweep_rows,
         ),
         in_rows=(2, 2, 2, 2, 1, 1),
         out_rows=(2, 1, 1) + ((1,) if with_disp else ()),
+        row_block=cfg.sweep_rows,
     )
     sweep_out = sweep(src_t, tgt_t, logits_t, sigma_t, shift, mask_rows)
     rgb_t, nll, nll_auto = sweep_out[:3]
