@@ -134,11 +134,11 @@ def run_bench(per_step_batch: int, remat: bool = False,
 #   b1_plain 0.072 | b1_remat 0.060   <- XLA lane gathers are near-scalar
 #   on TPU; the XLA-gather "oracle" path is ~100x slower than the fused
 #   Pallas sweep and OOMs at per-step batch 2, where fused fits batch 4.
-#   r3: bf16 heads + s2d tail + consolidated kernel freed HBM; the b8
-#   graph crashes the remote compile helper (HTTP 500, reproducibly), so
-#   the ladder tops out at b6.
+#   r3: bf16 heads + s2d tail + consolidated kernel.  Batch sweet spot is
+#   b4: measured b6 scales SUPER-linearly (445.5 ms vs b4's 251.5 —
+#   13.5 imgs/s < 15.9) and the b8 graph crashes the remote compile
+#   helper (HTTP 500, reproducibly).
 LADDER = (
-    (6, False, False, True, "b6_fused"),
     (4, False, False, True, "b4_fused"),
     (2, False, False, True, "b2_fused"),
     (1, True, True, False, "b1_remat"),

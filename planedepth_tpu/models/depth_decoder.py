@@ -252,12 +252,17 @@ class DepthDecoder(nn.Module):
         # quantization of logits (~0.4% rel) would leak into abs_rel.
         head_f32 = not (fused_head and self.fused_head_bf16 and train)
 
+        z4_padded = None
+
         def head_conv_s2d(features: int, name: str) -> jnp.ndarray:
             from planedepth_tpu.models import s2d
 
+            nonlocal z4_padded
+            if z4_padded is None:      # one shared pad for both heads
+                z4_padded = s2d.phase_pad(z4, "reflect")
             kh, bh = s2d.Conv3x3Params(features, NUM_CH_DEC[0], name=name)()
             return s2d.conv_valid(
-                s2d.phase_pad(z4, "reflect"), s2d.s2d_conv_kernel(kh),
+                z4_padded, s2d.s2d_conv_kernel(kh),
                 s2d.tile_bias(bh), self.dtype,
             )                                      # (B, H/2, W/2, 4*feat)
 

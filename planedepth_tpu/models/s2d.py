@@ -108,39 +108,34 @@ def tile_bias(b: jnp.ndarray) -> jnp.ndarray:
     return jnp.tile(b, 4)
 
 
-def _pad_rows(x: jnp.ndarray, mode: str) -> jnp.ndarray:
-    """Phase-aware 1-pixel row pad of a phase-packed tensor.
-
-    ``x`` is (B, Hq, Wq, 2, 2, C) (phases split out).  The pad row must
-    reproduce the UPPER level's 1-pixel boundary semantics:
-
-      * ``reflect``: level-up row -1 reflects to +1 = phase 1 of packed
-        row 0; level-up row S reflects to S-2 = phase 0 of the last
-        packed row.  (Only those phases are ever read by the conv.)
-      * ``edge``: level-up row -1 clamps to 0 = phase 0 of packed row 0;
-        level-up row S clamps to S-1 = phase 1 of the last packed row.
-    """
-    if mode == "reflect":
-        top_src, bot_src = x[:, :1, ..., 1, :, :], x[:, -1:, ..., 0, :, :]
-    else:
-        top_src, bot_src = x[:, :1, ..., 0, :, :], x[:, -1:, ..., 1, :, :]
-    # the unread phase slot is filled with the same row (don't-care)
-    top = jnp.stack([top_src, top_src], axis=-3)
-    bot = jnp.stack([bot_src, bot_src], axis=-3)
-    return jnp.concatenate([top, x, bot], axis=1)
-
-
 def phase_pad(x4: jnp.ndarray, mode: str) -> jnp.ndarray:
     """1-pixel spatial pad of a phase-packed (B, Hq, Wq, 4C) tensor that
-    reproduces ``reflect``/``edge`` 1-pixel padding of the UPPER level."""
+    reproduces ``reflect``/``edge`` 1-pixel padding of the UPPER level.
+
+    The pad rows/columns must carry the right PHASE of the right border
+    pixel: level-up row -1 is phase 1 of packed row -1, and maps to
+    phase 1 of packed row 0 under reflect (level-up +1) or phase 0 of
+    packed row 0 under edge (level-up 0); symmetrically at the bottom.
+    Only that phase slot is ever read by the conv — the other slot is
+    filled with the same source (don't-care).  No transposes: both axes
+    are padded with direct slices of the phase-split view.
+    """
     B, Hq, Wq, C4 = x4.shape
     C = C4 // 4
-    x = x4.reshape(B, Hq, Wq, 2, 2, C)
-    x = _pad_rows(x, mode)
-    # columns: same construction on the W axis / px phase
-    x = x.transpose(0, 2, 1, 4, 3, 5)          # swap (H,py) <-> (W,px)
-    x = _pad_rows(x, mode)
-    x = x.transpose(0, 2, 1, 4, 3, 5)
+    x = x4.reshape(B, Hq, Wq, 2, 2, C)         # (b, i, j, py, px, c)
+    r = int(mode == "reflect")
+    # rows: dims (py at -3)
+    top_src = x[:, :1, :, r, :, :]             # (B, 1, Wq, 2, C)
+    bot_src = x[:, -1:, :, 1 - r, :, :]
+    top = jnp.stack([top_src, top_src], axis=3)
+    bot = jnp.stack([bot_src, bot_src], axis=3)
+    x = jnp.concatenate([top, x, bot], axis=1)
+    # columns: dims (px at -2)
+    left_src = x[:, :, :1, :, r, :]            # (B, Hq+2, 1, 2, C)
+    right_src = x[:, :, -1:, :, 1 - r, :]
+    left = jnp.stack([left_src, left_src], axis=4)
+    right = jnp.stack([right_src, right_src], axis=4)
+    x = jnp.concatenate([left, x, right], axis=2)
     return x.reshape(B, Hq + 2, Wq + 2, C4)
 
 
