@@ -138,15 +138,6 @@ class DepthDecoder(nn.Module):
         cfg = self.planes
         all_levels = cfg.all_levels
 
-        grid_ep = None
-        if self.num_ep > 0:
-            if self.pe_type == "neural":
-                grid_ep = EpConv(self.num_ep, dtype=self.dtype, name="epconv")(
-                    grid.astype(self.dtype)
-                )
-            else:
-                grid_ep = frequency_embed(grid, self.num_ep).astype(self.dtype)
-
         # TPU layout surgery: run the finest scale in space-to-depth form
         # (models/s2d.py) so no (H, W, 16) tensor — which XLA stores with
         # an 8x lane-padded layout — ever materializes
@@ -155,8 +146,45 @@ class DepthDecoder(nn.Module):
             or (self.s2d_tail == "auto" and jax.default_backend() == "tpu")
         ) and grid.shape[1] % 4 == 0 and grid.shape[2] % 4 == 0
 
+        grid_ep = None
+        ep_packed = False
+        if self.num_ep > 0:
+            if self.pe_type == "neural":
+                if use_s2d:
+                    # 1x1 convs commute with space-to-depth (per-pixel):
+                    # the full-res C=8/16 PE tensors (16x lane-padded)
+                    # never materialize; injections resize straight from
+                    # the packed form (models/s2d.py)
+                    from planedepth_tpu.models import s2d
+
+                    k0, b0, k1, b1 = s2d.EpConvParams(
+                        self.num_ep, name="epconv")()
+                    grid_ep = s2d.epconv_s2d(
+                        s2d.space_to_depth(grid.astype(self.dtype)),
+                        k0, b0, k1, b1, self.dtype,
+                    )
+                    ep_packed = True
+                else:
+                    grid_ep = EpConv(
+                        self.num_ep, dtype=self.dtype, name="epconv"
+                    )(grid.astype(self.dtype))
+            else:
+                grid_ep = frequency_embed(grid, self.num_ep).astype(self.dtype)
+
+        def inject(x):
+            """Resize the PE features to x's spatial shape and concat
+            (reference depth_decoder.py:128-139)."""
+            if grid_ep is None:
+                return x
+            if ep_packed:
+                from planedepth_tpu.models import s2d
+
+                g = s2d.resize_from_s2d(grid_ep, x.shape[1:3])
+                return jnp.concatenate([x, g.astype(x.dtype)], axis=-1)
+            return inject_grid(x, grid_ep)
+
         x = input_features[-1].astype(self.dtype)
-        x = inject_grid(x, grid_ep)
+        x = inject(x)
         z4 = None
         for i in range(4, 0, -1):
             x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
@@ -166,7 +194,7 @@ class DepthDecoder(nn.Module):
                 x = jnp.concatenate(
                     [x, input_features[i - 1].astype(self.dtype)], axis=-1
                 )
-            x = inject_grid(x, grid_ep)
+            x = inject(x)
             x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype,
                           name=f"upconv_{i}_1")(x)
             if i == 4 and self.use_denseaspp:

@@ -149,6 +149,52 @@ def conv_valid(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     return y + bias.astype(dtype)
 
 
+def block_diag_1x1_kernel(K: jnp.ndarray) -> jnp.ndarray:
+    """Per-phase (block-diagonal) 1x1 conv on phase-packed channels:
+    (1, 1, Cin, Cout) -> (1, 1, 4*Cin, 4*Cout)."""
+    Cin, Cout = K.shape[2], K.shape[3]
+    out = jnp.zeros((1, 1, 4, Cin, 4, Cout), K.dtype)
+    for p in range(4):
+        out = out.at[0, 0, p, :, p, :].set(K[0, 0])
+    return out.reshape(1, 1, 4 * Cin, 4 * Cout)
+
+
+def epconv_s2d(grid4, k0, b0, k1, b1, dtype) -> jnp.ndarray:
+    """The neural positional-encoding stack (1x1 conv - ELU - 1x1 conv -
+    ELU, models/layers.py:EpConv) on the SPACE-TO-DEPTH grid.
+
+    1x1 convs are per-pixel, so phases are independent — block-diagonal
+    kernels give exact equivalence while the full-resolution C=8/16
+    tensors (stored 16x lane-padded by XLA) never materialize.
+    """
+    h = jax.nn.elu(conv_valid(grid4, block_diag_1x1_kernel(k0),
+                              tile_bias(b0), dtype))
+    return jax.nn.elu(conv_valid(h, block_diag_1x1_kernel(k1),
+                                 tile_bias(b1), dtype))
+
+
+def resize_from_s2d(x4: jnp.ndarray, size) -> jnp.ndarray:
+    """align_corners bilinear resize of the FULL-res signal directly from
+    its s2d form: (B, H/2, W/2, 4C) -> (B, Ho, Wo, C).
+
+    The resize is linear, so the (Ho, H) interpolation matrix is simply
+    reshaped to address (packed row, phase) — exact equivalence with
+    ``resize_bilinear_align_corners(depth_to_space(x4), size)``.
+    """
+    from planedepth_tpu.ops.resize import interp_matrix
+
+    B, Hh, Wh, C4 = x4.shape
+    C = C4 // 4
+    Ho, Wo = size
+    dtype = jnp.promote_types(x4.dtype, jnp.float32)
+    my = interp_matrix(2 * Hh, Ho, dtype).reshape(Ho, Hh, 2)
+    mx = interp_matrix(2 * Wh, Wo, dtype).reshape(Wo, Wh, 2)
+    xf = x4.reshape(B, Hh, Wh, 2, 2, C).astype(dtype)
+    out = jnp.einsum("oip,bijpqc->bojqc", my, xf, precision="highest")
+    out = jnp.einsum("sjq,bojqc->bosc", mx, out, precision="highest")
+    return out.astype(x4.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Canonical-parameter mirrors.  The s2d tail needs the RAW 3x3 kernels of
 # upconv_0_0 / upconv_0_1 / dispconv / sigmaconv to derive the packed
@@ -197,3 +243,32 @@ class ConvBlockParams(nn.Module):
     @nn.compact
     def __call__(self):
         return Conv3x3Params(self.features, self.cin, name="conv")()
+
+
+class Conv1x1Params(nn.Module):
+    """Param twin of ``nn.Conv(features, (1, 1))``."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
+class EpConvParams(nn.Module):
+    """Param twin of ``layers.EpConv`` (children conv0/conv1)."""
+
+    num_ep: int
+
+    @nn.compact
+    def __call__(self):
+        k0, b0 = Conv1x1Params(16, 2, name="conv0")()
+        k1, b1 = Conv1x1Params(self.num_ep, 16, name="conv1")()
+        return k0, b0, k1, b1

@@ -43,6 +43,22 @@ def resize_nearest(x: jnp.ndarray, size) -> jnp.ndarray:
     return x[:, iy][:, :, ix]
 
 
+def interp_matrix(s_in: int, s_out: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(s_out, s_in) align_corners=True bilinear interpolation matrix:
+    src = dst * (s_in - 1) / (s_out - 1), two taps per row."""
+    if s_out == 1:
+        src = jnp.zeros((1,), dtype)
+    else:
+        src = jnp.arange(s_out, dtype=dtype) * ((s_in - 1) / (s_out - 1))
+    i0 = jnp.clip(jnp.floor(src), 0, s_in - 1).astype(jnp.int32)
+    i1 = jnp.clip(i0 + 1, 0, s_in - 1)
+    w1 = src - i0
+    m = jnp.zeros((s_out, s_in), dtype)
+    m = m.at[jnp.arange(s_out), i0].add(1.0 - w1)
+    m = m.at[jnp.arange(s_out), i1].add(w1)
+    return m
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, size) -> jnp.ndarray:
     """Bilinear resize with align_corners=True semantics, NHWC.
 
@@ -56,22 +72,8 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size) -> jnp.ndarray:
     if (Ho, Wo) == (H, W):
         return x
     dtype = jnp.promote_types(x.dtype, jnp.float32)
-
-    def interp_matrix(s_in: int, s_out: int) -> jnp.ndarray:
-        if s_out == 1:
-            src = jnp.zeros((1,), dtype)
-        else:
-            src = jnp.arange(s_out, dtype=dtype) * ((s_in - 1) / (s_out - 1))
-        i0 = jnp.clip(jnp.floor(src), 0, s_in - 1).astype(jnp.int32)
-        i1 = jnp.clip(i0 + 1, 0, s_in - 1)
-        w1 = src - i0
-        m = jnp.zeros((s_out, s_in), dtype)
-        m = m.at[jnp.arange(s_out), i0].add(1.0 - w1)
-        m = m.at[jnp.arange(s_out), i1].add(w1)
-        return m
-
-    my = interp_matrix(H, Ho)        # (Ho, H)
-    mx = interp_matrix(W, Wo)        # (Wo, W)
+    my = interp_matrix(H, Ho, dtype)        # (Ho, H)
+    mx = interp_matrix(W, Wo, dtype)        # (Wo, W)
     xf = x.astype(dtype)
     out = jnp.einsum("oh,bhwc->bowc", my, xf, precision="highest")
     out = jnp.einsum("ow,bhwc->bhoc", mx, out, precision="highest")

@@ -83,6 +83,36 @@ def test_phase_pad_edge_matches_upper_level_edge():
     )
 
 
+def test_resize_from_s2d_matches_unpacked():
+    x = jnp.asarray(RNG.random((2, 12, 16, 5)), jnp.float32)
+    from planedepth_tpu.ops.resize import resize_bilinear_align_corners
+
+    for size in ((6, 8), (12, 16), (5, 7)):
+        ref = resize_bilinear_align_corners(x, size)
+        got = s2d.resize_from_s2d(s2d.space_to_depth(x), size)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(size))
+
+
+def test_epconv_s2d_matches_standard():
+    from planedepth_tpu.models.layers import EpConv
+
+    grid = jnp.asarray(RNG.random((2, 8, 12, 2)) * 2 - 1, jnp.float32)
+    mod = EpConv(8)
+    variables = mod.init(jax.random.PRNGKey(0), grid)
+    ref = mod.apply(variables, grid)
+    p = variables["params"]
+    got4 = s2d.epconv_s2d(
+        s2d.space_to_depth(grid),
+        p["conv0"]["kernel"], p["conv0"]["bias"],
+        p["conv1"]["kernel"], p["conv1"]["bias"], jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2d.depth_to_space(got4)), np.asarray(ref),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 @pytest.mark.parametrize("plane_residual", [True, False])
 def test_decoder_s2d_tail_matches_standard(plane_residual):
     H, W = 64, 96
