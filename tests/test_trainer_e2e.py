@@ -130,3 +130,30 @@ def test_trainer_resume_from_checkpoint(tmp_path):
     assert t2.step_count == t2.steps_per_epoch
     t2.train()
     assert t2.step_count == 2 * t2.steps_per_epoch
+
+
+def test_trainer_production_stack_e2e(tmp_path):
+    """Full Trainer loop on the PRODUCTION configuration: fused Pallas
+    sweep (interpret) with the in-kernel disparity head, s2d decoder tail
+    + packed PE, mixture loss + plane residuals + DenseASPP, sharded over
+    2 devices — train epoch, val metrics, checkpoints."""
+    from planedepth_tpu.train.trainer import Trainer
+
+    cfg = e2e_config(
+        tmp_path, model_name="e2e_prod",
+        model=ModelConfig(
+            net_type="ResNet", num_layers=18, use_denseaspp=True,
+            use_mixture_loss=True, plane_residual=True, num_ep=8,
+            planes=PlaneConfig(disp_levels=9, disp_min=2, disp_max=40,
+                               xz_levels=4, yz_levels=0),
+            fused_head="interpret", s2d_tail="on",
+        ),
+        flip_right=True,
+        batch_size=4,           # flip_right halves to per-step 2
+        fused_sweep=True,
+    )
+    trainer = Trainer(cfg, datasets=(SyntheticDataset(8), SyntheticDataset(2)))
+    trainer.train()
+    run_dir = os.path.join(str(tmp_path), "e2e_prod")
+    assert os.path.isdir(os.path.join(run_dir, "last_models"))
+    assert trainer.best_absrel < 10.0
