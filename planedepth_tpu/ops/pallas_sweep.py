@@ -456,8 +456,11 @@ def _bwd_kernel(
             s_n = s_scr[n]
             u_n = e_n / s_n
             c_n, cd_n = sampler(n)
-            c_scr[n] = c_n
-            cd_scr[n] = cd_n
+            # input-dtype scratch (bf16 in production): halves the
+            # kernel's dominant VMEM traffic; only drops
+            # sub-input-quantization interpolation bits
+            c_scr[n] = c_n.astype(c_scr.dtype)
+            cd_scr[n] = cd_n.astype(cd_scr.dtype)
             err_n = jnp.abs(c_n - tgt).sum(0) / 3.0
             lap_n = 0.5 * jnp.exp(-err_n / s_n) / s_n
             se = se + e_n
@@ -523,7 +526,7 @@ def _bwd_kernel(
     def plane_grads(n):
         """Shared per-plane adjoint algebra ->
         (dl, ds_gated, dc, dshift, dl0, ds0)."""
-        c_n = c_scr[n]
+        c_n = c_scr[n].astype(F32)
         pi_n = l_scr[n] * inv_se
         s_n = s_scr[n]
         e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
@@ -549,7 +552,7 @@ def _bwd_kernel(
         # diffs carry the mask; the adjoints are multiplied by it anyway)
         dshift_r = (
             jnp.sum(dl_n * ld_scr[n] + ds_gate * sd_scr[n], axis=1)
-            + jnp.sum(dc_n * cd_scr[n], axis=(0, 2))
+            + jnp.sum(dc_n * cd_scr[n].astype(F32), axis=(0, 2))
         )                                                   # (R,)
         dl0_n = ds0_n = None
         if with_disp:
@@ -810,8 +813,8 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
             pltpu.VMEM((N, R, W), F32),       # s
             pltpu.VMEM((N, R, W), F32),       # ld (tap diffs)
             pltpu.VMEM((N, R, W), F32),       # sd
-            pltpu.VMEM((N, 3, R, W), F32),    # c
-            pltpu.VMEM((N, 3, R, W), F32),    # cd
+            pltpu.VMEM((N, 3, R, W), src_t.dtype),    # c (see pass2)
+            pltpu.VMEM((N, 3, R, W), src_t.dtype),    # cd
             pltpu.VMEM((3, R, WG), F32),      # reverse-window staging
         ] + ([pltpu.VMEM((N, R, W), F32),     # e0 (center)
               pltpu.VMEM((N, R, W), F32)]     # s0
