@@ -77,3 +77,37 @@ def test_fused_s2d_step_matches_oracle_step():
     _assert_steps_match(
         _one_step(True, s2d="on"), _one_step(False), param_tol=1e-4
     )
+
+
+def _plade_step(fused):
+    cfg = TrainConfig(
+        batch_size=2,
+        flip_right=True,
+        model=ModelConfig(
+            net_type="PladeNet", num_ep=8, use_mixture_loss=True,
+            plane_residual=True,
+            planes=PlaneConfig(disp_levels=7, disp_min=2, disp_max=24,
+                               xz_levels=3, yz_levels=0),
+        ),
+        loss=LossConfig(alpha_pc=0.0, automask=True),
+        data=DataConfig(height=H, width=W),
+        optim=OptimConfig(learning_rate=1e-4),
+        bf16=False,
+        fused_sweep=fused,
+    )
+    bundle = ModelBundle(cfg)
+    params, stats, _ = bundle.init(jax.random.PRNGKey(0), H, W)
+    tx = make_optimizer(cfg, 10)
+    state = create_train_state(params, stats, tx)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_stereo_batch(1, H, W, seed=4).items()}
+    step = jax.jit(make_train_step(bundle, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    return state, metrics
+
+
+def test_fused_pladenet_step_matches_oracle_step():
+    """The fused Pallas loss path is model-family agnostic: PladeNet
+    emits the same plane-head outputs, so its stereo training also rides
+    the kernel on TPU — pinned here against its oracle step."""
+    _assert_steps_match(_plade_step(True), _plade_step(False))
