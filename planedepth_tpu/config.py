@@ -69,6 +69,10 @@ class ModelConfig:
     # scale phase-packed so no (H, W, 16) tensor — 8x lane-padded on TPU —
     # ever materializes.  "auto" = TPU backends, "on"/"off" force.
     s2d_tail: str = "auto"
+    # space-to-depth encoder stem (models/s2d.py:stem_s2d_kernel): the
+    # 7x7/2 stem conv on the 2-level packed input — the C=3 NHWC image is
+    # otherwise stored 42x lane-padded on TPU
+    s2d_stem: str = "auto"
     planes: PlaneConfig = field(default_factory=PlaneConfig)
     # Pose network (only built when novel_frame_ids non-empty and not colmap,
     # reference trainer.py:92-94)

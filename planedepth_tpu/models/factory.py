@@ -33,7 +33,8 @@ class DepthModel(nn.Module):
         c = self.cfg
         if c.net_type == "ResNet":
             features = ResnetEncoder(
-                c.num_layers, remat=c.remat, dtype=self.dtype, name="encoder"
+                c.num_layers, remat=c.remat, s2d_stem=c.s2d_stem,
+                dtype=self.dtype, name="encoder"
             )(image, train)
             return DepthDecoder(
                 num_ch_enc=tuple(encoder_channels(c.num_layers)),

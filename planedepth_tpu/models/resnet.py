@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
@@ -135,6 +136,7 @@ class ResNetTrunk(nn.Module):
     num_layers: int = 50
     num_input_images: int = 1
     remat: bool = False
+    s2d_stem: str = "auto"          # auto | on | off (models/s2d.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -145,11 +147,34 @@ class ResNetTrunk(nn.Module):
             Block = nn.remat(Block, static_argnums=(2,))
         expansion = 1 if block_kind == "basic" else 4
 
+        use_s2d_stem = (
+            self.s2d_stem == "on"
+            or (self.s2d_stem == "auto"
+                and jax.default_backend() == "tpu")
+        ) and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0
+
         features = []
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        if use_s2d_stem:
+            # MLPerf-style space-to-depth stem: XLA stores the C=3 NHWC
+            # input 42x lane-padded; the 7x7/2 conv re-expressed on the
+            # 2-level packed grid (models/s2d.py:stem_s2d_kernel) keeps
+            # every stem tensor lane-sized — exact, canonical weights
+            from planedepth_tpu.models import s2d
+
+            k1 = s2d.ConvKernelParams(
+                64, x.shape[-1], 7, name="conv1")()
+            x4 = s2d.space_to_depth2(x)
+            x4 = jnp.pad(x4, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            out4 = s2d.conv_valid(
+                x4, s2d.stem_s2d_kernel(k1),
+                jnp.zeros((256,), self.dtype), self.dtype,
+            )
+            x = s2d.depth_to_space(out4)
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="conv1",
+            )(x)
         x = BatchNorm(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         features.append(x)
@@ -181,6 +206,7 @@ class ResnetEncoder(nn.Module):
 
     num_layers: int = 50
     remat: bool = False
+    s2d_stem: str = "auto"
     dtype: Dtype = jnp.float32
 
     @property
@@ -191,8 +217,8 @@ class ResnetEncoder(nn.Module):
     def __call__(self, image, train: bool = True):
         x = (image.astype(self.dtype) - 0.45) / 0.225
         return ResNetTrunk(
-            self.num_layers, remat=self.remat, dtype=self.dtype,
-            name="encoder",
+            self.num_layers, remat=self.remat, s2d_stem=self.s2d_stem,
+            dtype=self.dtype, name="encoder",
         )(x, train)
 
 

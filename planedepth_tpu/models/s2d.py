@@ -149,6 +149,44 @@ def conv_valid(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     return y + bias.astype(dtype)
 
 
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """Two s2d levels: (B, H, W, C) -> (B, H/4, W/4, 16C).
+
+    Channel nesting (py2, px2, py1, px1, c): full-res row = 4i + 2*py2 +
+    py1 (level-2 phases major)."""
+    return space_to_depth(space_to_depth(x))
+
+
+def stem_s2d_kernel(K: jnp.ndarray) -> jnp.ndarray:
+    """Express the ResNet stem — 7x7 stride-2 pad-3 conv — on the 2-level
+    space-to-depth input.
+
+    (7, 7, Cin, Cout) -> (3, 3, 16*Cin, 4*Cout): a stride-1 conv over the
+    quarter-res packed grid emitting the 2x2 phases of the half-res
+    output (one depth_to_space recovers it).  Output row m, phase pm
+    reads full-res rows u = 4q + (2*pm + dy) for q = m//2 — i.e. packed
+    row q + (2*pm+dy)//4, phase (2*pm+dy) % 4.  Full-res zero padding 3
+    maps to a plain 1-pixel zero pad of the packed grid (all four phases
+    of the pad rows are genuinely zero).  The classic MLPerf-era TPU
+    space-to-depth stem trick, derived exactly from the canonical 7x7
+    kernel so pretrained/converted weights keep working.
+    """
+    Cin, Cout = K.shape[2], K.shape[3]
+    out = jnp.zeros((3, 3, 2, 2, 2, 2, Cin, 4, Cout), K.dtype)
+    for pm in range(2):
+        for pn in range(2):
+            p = pm * 2 + pn
+            for dy in range(-3, 4):
+                ay, oy = (2 * pm + dy) // 4, (2 * pm + dy) % 4
+                for dx in range(-3, 4):
+                    ax, ox = (2 * pn + dx) // 4, (2 * pn + dx) % 4
+                    out = out.at[
+                        ay + 1, ax + 1, oy // 2, ox // 2, oy % 2, ox % 2,
+                        :, p, :,
+                    ].set(K[dy + 3, dx + 3])
+    return out.reshape(3, 3, 16 * Cin, 4 * Cout)
+
+
 def block_diag_1x1_kernel(K: jnp.ndarray) -> jnp.ndarray:
     """Per-phase (block-diagonal) 1x1 conv on phase-packed channels:
     (1, 1, Cin, Cout) -> (1, 1, 4*Cin, 4*Cout)."""
@@ -243,6 +281,21 @@ class ConvBlockParams(nn.Module):
     @nn.compact
     def __call__(self):
         return Conv3x3Params(self.features, self.cin, name="conv")()
+
+
+class ConvKernelParams(nn.Module):
+    """Param twin of ``nn.Conv(features, (k, k), use_bias=False)``."""
+
+    features: int
+    cin: int
+    ksize: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.ksize, self.ksize, self.cin, self.features),
+        )
 
 
 class Conv1x1Params(nn.Module):

@@ -83,6 +83,43 @@ def test_phase_pad_edge_matches_upper_level_edge():
     )
 
 
+def test_stem_s2d_matches_standard_conv():
+    """7x7/2 stem conv on the 2-level packed grid == the plain conv."""
+    import jax.lax as lax
+
+    x = jnp.asarray(RNG.random((2, 16, 24, 3)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((7, 7, 3, 5)), jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, k, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x4 = jnp.pad(s2d.space_to_depth2(x),
+                 ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out4 = s2d.conv_valid(x4, s2d.stem_s2d_kernel(k),
+                          jnp.zeros((20,)), jnp.float32)
+    got = s2d.depth_to_space(out4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_s2d_stem_matches_standard():
+    """ResnetEncoder with the s2d stem == standard, same params."""
+    from planedepth_tpu.models.resnet import ResnetEncoder
+
+    img = jnp.asarray(RNG.random((1, 32, 48, 3)), jnp.float32)
+    e_off = ResnetEncoder(18, s2d_stem="off")
+    e_on = ResnetEncoder(18, s2d_stem="on")
+    variables = e_off.init(jax.random.PRNGKey(0), img, False)
+    v_on = e_on.init(jax.random.PRNGKey(0), img, False)
+    assert jax.tree_util.tree_structure(variables["params"]) == \
+        jax.tree_util.tree_structure(v_on["params"])
+    f_off = e_off.apply(variables, img, False)
+    f_on = e_on.apply(variables, img, False)
+    for a, b in zip(f_off, f_on):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_resize_from_s2d_matches_unpacked():
     x = jnp.asarray(RNG.random((2, 12, 16, 5)), jnp.float32)
     from planedepth_tpu.ops.resize import resize_bilinear_align_corners
