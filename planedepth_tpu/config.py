@@ -70,9 +70,13 @@ class ModelConfig:
     # ever materializes.  "auto" = TPU backends, "on"/"off" force.
     s2d_tail: str = "auto"
     # space-to-depth encoder stem (models/s2d.py:stem_s2d_kernel): the
-    # 7x7/2 stem conv on the 2-level packed input — the C=3 NHWC image is
-    # otherwise stored 42x lane-padded on TPU
-    s2d_stem: str = "auto"
+    # 7x7/2 stem conv on the 2-level packed input.  Default OFF: measured
+    # on v5e (BENCH r3c vs r3b) it REGRESSES the full step ~4% — the raw
+    # image keeps its C-minor layout anyway because the perceptual VGG
+    # stem and the sweep-kernel transposes also consume it, so the
+    # packing ops add cost without removing the padded layout.  Kept as
+    # an option for image-single-consumer configurations.
+    s2d_stem: str = "off"
     planes: PlaneConfig = field(default_factory=PlaneConfig)
     # Pose network (only built when novel_frame_ids non-empty and not colmap,
     # reference trainer.py:92-94)

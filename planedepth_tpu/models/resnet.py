@@ -136,7 +136,7 @@ class ResNetTrunk(nn.Module):
     num_layers: int = 50
     num_input_images: int = 1
     remat: bool = False
-    s2d_stem: str = "auto"          # auto | on | off (models/s2d.py)
+    s2d_stem: str = "off"           # auto | on | off (models/s2d.py)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -206,7 +206,7 @@ class ResnetEncoder(nn.Module):
 
     num_layers: int = 50
     remat: bool = False
-    s2d_stem: str = "auto"
+    s2d_stem: str = "off"
     dtype: Dtype = jnp.float32
 
     @property

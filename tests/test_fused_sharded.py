@@ -96,6 +96,37 @@ def test_fused_step_sharded_matches_single_device():
     assert worst_bn < 5e-4, worst_bn
 
 
+def test_fused_step_2d_spatial_mesh_matches_single_device():
+    """Fused kernels on the 2-D (data x spatial) mesh: image rows shard
+    across chips too (shard_kernel's row_block-aware spatial specs)."""
+    cfg = _cfg().replace(batch_size=2 * 4)      # per-step 4, eff 8
+    bundle = ModelBundle(cfg)
+    params, batch_stats, _ = bundle.init(jax.random.PRNGKey(0), H, W)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    batch_np = make_stereo_batch(cfg.per_step_batch, H, W, seed=3)
+    rng = jax.random.PRNGKey(5)
+
+    state1 = create_train_state(params, batch_stats, tx)
+    step1 = jax.jit(make_train_step(bundle, tx))
+    batch1 = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    _, m1 = step1(state1, batch1, rng)
+
+    mesh = make_mesh(jax.devices()[:8], spatial=2)   # 4 data x 2 spatial
+    state8 = create_train_state(params, batch_stats, tx)
+    state8 = replicate_state(state8, mesh)
+    step8 = jit_train_step(make_train_step(bundle, tx), mesh)
+    batch8 = shard_batch(batch_np, mesh)
+    rng8 = jax.device_put(
+        rng, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    )
+    _, m8 = step8(state8, batch8, rng8)
+
+    np.testing.assert_allclose(
+        float(m1["loss/total_loss"]), float(m8["loss/total_loss"]),
+        rtol=5e-4,
+    )
+
+
 def test_fused_kernels_partition_not_replicate():
     """Structural check: the compiled sharded step must NOT all-gather the
     full-batch plane tensors in front of the Pallas custom calls.
