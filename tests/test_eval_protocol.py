@@ -66,3 +66,44 @@ def test_evaluate_disparities_mono_median_scaling():
     )
     assert metrics["abs_rel"] < 1e-3, metrics
     assert abs(metrics["ratio_med"] - 1 / 0.123) / (1 / 0.123) < 1e-3
+
+
+def test_external_disp_remap_and_benchmark_png_export(tmp_path):
+    """The reference CLI's external-disparity evaluation path
+    (evaluate_depth_HR.py:174-210): load disps from .npy, remap
+    eigen->benchmark ids, save, and export 16-bit benchmark PNGs."""
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from planedepth_tpu.config import DataConfig, TrainConfig
+    from planedepth_tpu.eval.evaluator import evaluate
+
+    rng = np.random.default_rng(0)
+    disps = rng.uniform(0.01, 0.3, (4, 12, 40)).astype(np.float32)
+    ext = tmp_path / "disps.npy"
+    np.save(ext, disps)
+
+    splits = tmp_path / "splits"
+    (splits / "benchmark").mkdir(parents=True)
+    remap = np.array([2, 0], np.int64)
+    np.save(splits / "benchmark" / "eigen_to_benchmark_ids.npy", remap)
+
+    out = tmp_path / "preds"
+    cfg = TrainConfig(data=DataConfig(height=32, width=64))
+    res = evaluate(
+        cfg, params=None, batch_stats=None, eval_split="benchmark",
+        ext_disp_to_eval=str(ext), eval_eigen_to_benchmark=True,
+        save_pred_disps=str(out), splits_dir=str(splits),
+    )
+    assert res == {}
+    saved = np.load(str(out) + ".npy")
+    np.testing.assert_array_equal(saved, disps[remap])
+    # PNGs land in the save dir; 16-bit depth = clip(5.4/disp)*256
+    png_dir = str(out)
+    files = [f for f in sorted(os.listdir(png_dir)) if f.endswith(".png")]
+    assert len(files) == 2
+    img = np.asarray(Image.open(os.path.join(png_dir, files[0])))
+    assert img.dtype == np.uint16 and img.shape == (352, 1216)
+    assert img.max() > 0
