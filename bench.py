@@ -141,6 +141,7 @@ def run_bench(per_step_batch: int, remat: bool = False,
 LADDER = (
     (4, False, False, True, "b4_fused"),
     (2, False, False, True, "b2_fused"),
+    (1, False, False, True, "b1_fused"),
     (1, True, True, False, "b1_remat"),
 )
 

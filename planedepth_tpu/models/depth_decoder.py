@@ -273,12 +273,16 @@ class DepthDecoder(nn.Module):
             )
         )
         # Fused TRAINING path: keep the plane heads in the compute dtype
-        # (bf16) — the Pallas kernels upcast per-block in VMEM, so f32
-        # materialization of the (B, H, W, N) tensors would only add two
-        # ~1 GB HBM tensors + transposes per step (PERF_NOTES.md r3).
-        # Eval keeps f32 heads: val metrics read `disp` directly and bf16
-        # quantization of logits (~0.4% rel) would leak into abs_rel.
-        head_f32 = not (fused_head and self.fused_head_bf16 and train)
+        # (bf16) — the Pallas SWEEP kernel (which consumes them) upcasts
+        # per-block in VMEM, so f32 materialization of the (B, H, W, N)
+        # tensors would only add two ~1 GB HBM tensors + transposes per
+        # step (PERF_NOTES.md r3).  Keyed on fused_sweep_loss, NOT on the
+        # disp-HEAD kernel gate — the sweep computes the disp head itself
+        # in this mode.  Eval keeps f32 heads: val metrics read `disp`
+        # directly and bf16 logits quantization would leak into abs_rel.
+        head_f32 = not (
+            self.fused_sweep_loss and self.fused_head_bf16 and train
+        )
 
         z4_padded = None
 

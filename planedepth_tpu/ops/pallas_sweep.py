@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from planedepth_tpu.ops.pallas_disp import _row_col
+
 F32 = jnp.float32
 
 
@@ -181,11 +183,6 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad):
             sample_lsd_rows, sample_lsd_vec, sample_cd_rows, sample_cd_vec)
 
 
-def _row_col(ref, n, R):
-    """(R, 1) column from R SMEM scalars of plane n (ref block (R, N))."""
-    return jnp.stack([ref[r, n] for r in range(R)]).reshape(R, 1)
-
-
 def _fwd_kernel(
     shift_ref,   # (R, N) SMEM  signed source offsets
     mask_ref,    # (R, N) SMEM  row plane-validity
@@ -284,7 +281,6 @@ def _fwd_kernel(
                 return head
             se0, us0, ud0 = carry[5:]
             e0_n = jnp.exp(l0_scr[n] - mx0)
-            l0_scr[n] = e0_n             # cache e0 for the bwd twin
             u0_n = e0_n * _row_col(mask_ref, n, R) / s0_scr[n]
             return head + (se0 + e0_n, us0 + u0_n,
                            ud0 + u0_n * _row_col(shift_ref, n, R))
@@ -512,7 +508,7 @@ def _bwd_kernel(
 
     # ---- emission (no forward sampling — everything is in scratch) ---------
     if image_grads:
-        Ma, dEa = carry[4:]
+        Ma, dEa = carry[4:6]
         Ma = Ma * inv_se
         dEa = dEa * inv_se
         dMa = -gA_ * (Ma > 0) / (jnp.maximum(Ma, 0.0) + 1e-7)
@@ -752,6 +748,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     dtype (bf16 in production), halving their HBM write+readback.
     ``with_disp`` consumes the expected-disparity cotangent too.
     """
+    assert pad > 0, "pad is required (>= max |shift| + 1)"
     B, _, H, W = src_t.shape
     N = logits_t.shape[1]
     R = rows

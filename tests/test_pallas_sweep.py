@@ -217,6 +217,37 @@ def test_with_disp_vjp_matches_autodiff():
         )
 
 
+def test_with_disp_and_image_grads_combination():
+    """with_disp=True together with the DEFAULT image_grads=True (the
+    combination outside the train step) must differentiate — regression
+    for a carry-unpack bug in the backward kernel."""
+    args = _inputs()
+
+    def loss(src, tgt, logits, sigma, shift):
+        rgb, nll, nlla, disp = fused_plane_sweep(
+            src, tgt, logits, sigma, shift, args[5], PAD, True, 0,
+            True, True,
+        )
+        return (jnp.sum(rgb) + jnp.sum(nll) + jnp.sum(nlla)
+                + jnp.sum(disp))
+
+    g = jax.grad(loss, argnums=(0, 2, 4))(*args[:5])
+    ref_rgb, ref_nll, ref_nla = oracle_dense(*args)
+    ref_disp = oracle_disp_center(args[2], args[3], args[4], args[5])
+
+    def oracle(src, tgt, logits, sigma, shift):
+        rgb, nll, nlla = oracle_dense(src, tgt, logits, sigma, shift,
+                                      args[5])
+        disp = oracle_disp_center(logits, sigma, shift, args[5])
+        return (jnp.sum(rgb) + jnp.sum(nll) + jnp.sum(nlla)
+                + jnp.sum(disp))
+
+    go = jax.grad(oracle, argnums=(0, 2, 4))(*args[:5])
+    for a, b, name in zip(g, go, ("src", "logits", "shift")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
 def test_manual_xla_adjoint_matches_autodiff():
     """The scan-based XLA adjoint (_sweep_bwd, the kernel's reference
     derivation) == autodiff of the dense oracle."""
