@@ -58,7 +58,9 @@ class EpochSampler:
         else:
             pad = (-len(order)) % chunk
             if pad:
-                order = np.concatenate([order, order[:pad]])
+                # cyclic repeat: order[:pad] is too short when the split
+                # is smaller than one global chunk (tiny val splits)
+                order = np.concatenate([order, np.resize(order, pad)])
         return order
 
     def host_batches(self, epoch: int) -> np.ndarray:
@@ -150,6 +152,7 @@ class BatchLoader:
 
             q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
             stop = threading.Event()
+            failure: List[BaseException] = []
 
             def producer():
                 try:
@@ -158,8 +161,10 @@ class BatchLoader:
                             return
                         q.put(self._make_batch(step_idx, epoch, fallback,
                                                pool))
-                finally:
-                    q.put(None)
+                except BaseException as e:   # propagate to the consumer —
+                    failure.append(e)        # a swallowed loader failure
+                finally:                     # would silently truncate the
+                    q.put(None)              # epoch (and the LR schedule)
 
             t = threading.Thread(target=producer, daemon=True)
             t.start()
@@ -167,6 +172,10 @@ class BatchLoader:
                 while True:
                     b = q.get()
                     if b is None:
+                        if failure:
+                            raise RuntimeError(
+                                "BatchLoader producer failed"
+                            ) from failure[0]
                         break
                     yield b
             finally:

@@ -39,7 +39,7 @@ def predict_split_disparities(
     dataset = ds_cls(
         cfg.data.data_path, filenames, cfg.data.height, cfg.data.width,
         novel_frame_ids=(), is_train=False, use_crop=False,
-        img_ext=".png",
+        img_ext=".png" if cfg.data.png else ".jpg",
     )
     sampler = EpochSampler(
         len(dataset), batch_size, shuffle=False, drop_last=False
@@ -115,7 +115,11 @@ def evaluate(
         np.save(save_pred_disps, pred_disps)
 
     if eval_split == "benchmark":
-        # export 16-bit benchmark PNGs (evaluate_depth_HR.py:195-210)
+        # export 16-bit benchmark PNGs — bit-faithful to the reference
+        # (evaluate_depth_HR.py:200-208), including its raw
+        # STEREO_SCALE_FACTOR/disp conversion WITHOUT the 0.1*0.58*W
+        # disparity law used everywhere else (a reference quirk kept for
+        # submission parity; do not "fix" to disp_to_depth here)
         import cv2
 
         out_dir = save_pred_disps or "benchmark_predictions"

@@ -87,8 +87,7 @@ def evaluate_disparities(
         pred_depth = pred_depth[mask]
         gt = gt_depth[mask]
 
-        pred_depth = pred_depth * (STEREO_SCALE_FACTOR if stereo
-                                   else pred_depth_scale_factor)
+        pred_depth = pred_depth * scale
         if not stereo:
             ratio = np.median(gt) / np.median(pred_depth)
             ratios.append(ratio)

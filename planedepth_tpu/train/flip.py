@@ -42,4 +42,14 @@ def add_flip_right_inputs(
         for prefix in ("color", "color_aug"):
             k = f"{prefix}_{f}"
             new[k] = cat([inputs[k], flip_w(inputs[k])], 0)
+        # COLMAP per-frame poses: the reference's add_flip_right_inputs
+        # DROPS these keys and would KeyError in predict_poses under
+        # use_colmap + flip_right (trainer.py:252-276 vs 363); repaired
+        # here by repeating them like Rt_l/Rt_r (per the reference's own
+        # comment, the flipped copies "should not affect the training")
+        rt = f"Rt_{f}"
+        if rt in inputs:
+            new[rt] = jnp.tile(
+                inputs[rt], (2,) + (1,) * (inputs[rt].ndim - 1)
+            )
     return new

@@ -58,6 +58,30 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTran
     return optax.adam(schedule, b1=cfg.optim.beta_1, b2=cfg.optim.beta_2)
 
 
+def fast_forward_schedule(opt_state, step: int):
+    """Advance every LR-schedule count to ``step`` WITHOUT touching
+    Adam's bias-correction state.
+
+    The reference replays MultiStepLR ``start_epoch`` times on resume
+    (trainer.py:243-244).  optax keys the schedule on the opt_state's
+    internal count, not on ``TrainState.step`` — so a ``--start_epoch``
+    resume with a fresh Adam (``--no_restore_optimizer`` or a checkpoint
+    without adam state) would otherwise restart at the base LR, ignoring
+    milestones already passed.
+    """
+
+    def walk(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(step, s.count.dtype)
+            )
+        if isinstance(s, tuple) and not hasattr(s, "_fields"):
+            return tuple(walk(x) for x in s)
+        return s
+
+    return walk(opt_state)
+
+
 def create_train_state(
     params: Dict,
     batch_stats: Dict,

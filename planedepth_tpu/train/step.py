@@ -40,6 +40,14 @@ from planedepth_tpu.train.view_synthesis import (
 )
 
 
+def sweep_pad(cfg: TrainConfig) -> int:
+    """Static W padding for the Pallas samplers: covers the max disparity
+    incl. plane-residual overshoot; shifts are clipped to it in the kernel
+    wrappers as a backstop.  ONE definition — the distillation sampler and
+    the fused sweep must agree on the clipping range."""
+    return int(cfg.model.planes.disp_max * 1.08) + 4
+
+
 class ModelBundle:
     """Static bundle of the flax modules for one training configuration."""
 
@@ -196,7 +204,7 @@ def process_batch(
     pallas_spec = None
     if jax.default_backend() == "tpu" and cfg.model.planes.yz_levels == 0:
         pallas_spec = (
-            int(cfg.model.planes.disp_max * 1.08) + 4,
+            sweep_pad(cfg),
             cfg.model.planes.disp_levels,
             False,
         )
@@ -225,18 +233,14 @@ def process_batch(
                 image, grid, train=False,
             )
 
+        # the teacher consumes the (possibly flip-doubled) batch directly,
+        # exactly like the reference (add_flip_right_inputs runs BEFORE
+        # process_batch, trainer.py:294 vs 404) — disp_pp/mask_novel come
+        # back already sized like the student outputs
         disp_pp, mask_novel = generate_post_process_disp(
             teacher_apply, batch["color_aug_l"], batch["grid"],
             cfg.model.num_ep, pallas_spec=pallas_spec,
         )
-        # teacher ran on [x, flip(x)]: tile to the flip-doubled batch
-        if cfg.flip_right:
-            disp_pp = jnp.concatenate(
-                [disp_pp, disp_pp[:, :, ::-1]], axis=0
-            )
-            mask_novel = jnp.concatenate(
-                [mask_novel, mask_novel[:, :, ::-1]], axis=0
-            )
         outputs["disp_pp"] = disp_pp
         outputs["mask_novel"] = mask_novel
 
@@ -337,9 +341,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     source = batch[f"{color_name}_l"]
     target = batch[f"{color_name}_r"]
 
-    # pad covers the max disparity incl. plane-residual overshoot; shifts
-    # are clipped to the pad as a backstop inside the wrapper
-    pad = int(cfg.model.planes.disp_max * 1.08) + 4
+    pad = sweep_pad(cfg)
 
     in_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)

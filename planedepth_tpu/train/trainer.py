@@ -213,11 +213,18 @@ class Trainer:
         self.best_absrel = 10.0
         self._val_panel_step = 0
         # resume fast-forward (reference trainer.py:242-244 replays the LR
-        # scheduler; here the schedule is a pure function of the step)
+        # scheduler): advance both TrainState.step and the optax schedule
+        # count (the latter is what the LR decay actually reads — a fresh
+        # Adam would otherwise restart at the base LR)
         self.step_count = cfg.optim.start_epoch * self.steps_per_epoch
         if self.step_count:
+            from planedepth_tpu.train.state import fast_forward_schedule
+
             self.state = self.state.replace(
-                step=jnp.asarray(self.step_count, jnp.int32)
+                step=jnp.asarray(self.step_count, jnp.int32),
+                opt_state=fast_forward_schedule(
+                    self.state.opt_state, self.step_count
+                ),
             )
         self.meter = ThroughputMeter(
             self.steps_per_epoch * cfg.optim.num_epochs, cfg.per_step_batch

@@ -211,3 +211,30 @@ def test_synthetic_batch_geometry():
     np.testing.assert_allclose(
         right[:, : 48 - 6], left[:, 5 : 48 - 1], atol=1e-5
     )
+
+
+def test_epoch_sampler_pads_tiny_split():
+    """drop_last=False with a split smaller than one global chunk must
+    pad cyclically instead of crashing on reshape."""
+    s = EpochSampler(3, batch_size=4, num_hosts=2, host_id=0,
+                     shuffle=False, drop_last=False)
+    batches = s.host_batches(0)
+    assert batches.shape == (1, 4)
+    assert set(batches.ravel()) <= {0, 1, 2}
+
+
+def test_batch_loader_propagates_producer_failure():
+    """A loader failure mid-epoch must raise, not silently truncate."""
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def getitem(self, idx, epoch=0):
+            raise ValueError("boom")
+
+    s = EpochSampler(8, batch_size=4, shuffle=False)
+    loader = BatchLoader(Bad(), s, num_workers=1)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        list(loader.epoch(0))

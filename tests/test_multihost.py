@@ -44,19 +44,29 @@ def test_two_process_step_matches_single_process():
         XLA_FLAGS="--xla_force_host_platform_device_count=4",
         JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
     )
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-m", "tests._multihost_worker",
-             str(pid), "2", str(port)],
-            env=env, cwd=REPO,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    def run_pair(port):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-m", "tests._multihost_worker",
+                 str(pid), "2", str(port)],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+        return procs, outs
+
+    procs, outs = run_pair(port)
+    if any(p.returncode != 0 for p in procs) and any(
+        "Gloo context initialization failed" in o for o in outs
+    ):
+        # infra flake: gloo's 30 s KV-store timeout can expire when the
+        # single CI core is contended — one retry on a fresh port
+        procs, outs = run_pair(_free_port())
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
 

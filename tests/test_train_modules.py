@@ -289,3 +289,42 @@ def test_vgg19_conversion_matches_torch_forward():
             np.asarray(ours), np.moveaxis(ref.numpy(), 1, -1),
             rtol=1e-3, atol=1e-4,
         )
+
+
+def test_fast_forward_schedule_decays_lr():
+    """--start_epoch resume with a fresh Adam must resume at the DECAYED
+    LR (the reference replays MultiStepLR, trainer.py:243-244)."""
+    import jax.numpy as jnp
+
+    from planedepth_tpu.config import OptimConfig, TrainConfig
+    from planedepth_tpu.train.state import (
+        fast_forward_schedule, make_optimizer,
+    )
+
+    cfg = TrainConfig(optim=OptimConfig(
+        learning_rate=1e-3, milestones=(1,), lr_gamma=0.5))
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.ones((3,))}
+    g = {"w": jnp.ones((3,))}
+    u0, _ = tx.update(g, tx.init(params), params)
+    u2, _ = tx.update(g, fast_forward_schedule(tx.init(params), 25), params)
+    assert abs(float(u2["w"][0])) < 0.75 * abs(float(u0["w"][0]))
+
+
+def test_flip_right_carries_colmap_poses():
+    """use_colmap + flip_right: the reference DROPS Rt_{f} in
+    add_flip_right_inputs and crashes; repaired here (poses repeated)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from planedepth_tpu.train.flip import add_flip_right_inputs
+
+    from planedepth_tpu.data.synthetic import make_stereo_batch
+
+    b = {k: jnp.asarray(v) for k, v in
+         make_stereo_batch(2, 16, 32, novel_frame_ids=(-1,)).items()}
+    out = add_flip_right_inputs(b, novel_frame_ids=(-1,))
+    assert out["Rt_-1"].shape[0] == 4
+    np.testing.assert_array_equal(
+        np.asarray(out["Rt_-1"][:2]), np.asarray(out["Rt_-1"][2:])
+    )

@@ -135,3 +135,22 @@ def test_self_distillation_branch_runs():
     state, m = step(state, batch, jax.random.PRNGKey(0))
     assert "loss/disp_loss" in m
     assert np.isfinite(float(m["loss/disp_loss"]))
+
+
+def test_self_distillation_with_flip_right_runs():
+    """SD + flip_right: the teacher consumes the already-doubled batch
+    (reference trainer.py:294 vs 404) — regression for a double-doubling
+    shape crash.  Covers both the oracle and the fused loss paths."""
+    for fused in (False, True):
+        cfg = tiny_config(
+            loss=LossConfig(alpha_pc=0.0, self_distillation=1.0),
+            flip_right=True, batch_size=4, fused_sweep=fused,
+        )
+        bundle, tx, state = build(cfg)
+        teacher = {"params": state.params, "batch_stats": state.batch_stats}
+        state = state.replace(teacher=teacher)
+        step = jax.jit(make_train_step(bundle, tx))
+        batch = {k: jnp.asarray(v) for k, v in
+                 make_stereo_batch(2, H, W, seed=2).items()}
+        state, m = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss/disp_loss"])), fused
