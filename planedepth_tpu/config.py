@@ -31,6 +31,16 @@ class PlaneConfig:
     yz_min: float = 0.1
     yz_max: float = 10.0
 
+    def __post_init__(self):
+        # degenerate counts silently produce NaN spacings (divisions by
+        # levels-1 in geometry/planes.py) or shape errors — reject early
+        assert self.disp_levels >= 2, "disp_levels must be >= 2"
+        assert self.xz_levels == 0 or self.xz_levels >= 2, \
+            "xz_levels must be 0 or >= 2"
+        assert self.yz_levels % 2 == 0 and self.yz_levels != 2, \
+            "yz_levels must be even and 0 or >= 4 (two half-sets with " \
+            ">= 2 levels each)"
+
     @property
     def all_levels(self) -> int:
         return self.disp_levels + self.xz_levels + self.yz_levels

@@ -10,7 +10,7 @@ unlike depth_decoder.py:283).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ from planedepth_tpu.models.depth_decoder import (
 from planedepth_tpu.models.layers import (
     ConvELU,
     Deconv,
-    EpConv,
     ResidualBlock,
 )
 from planedepth_tpu.ops.resize import resize_bilinear_align_corners

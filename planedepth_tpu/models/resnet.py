@@ -134,7 +134,6 @@ class ResNetTrunk(nn.Module):
     """
 
     num_layers: int = 50
-    num_input_images: int = 1
     remat: bool = False
     s2d_stem: str = "off"           # auto | on | off (models/s2d.py)
     dtype: Dtype = jnp.float32
@@ -241,6 +240,5 @@ class ResnetPoseEncoder(nn.Module):
     def __call__(self, images, train: bool = True):
         x = (images.astype(self.dtype) - 0.45) / 0.225
         return ResNetTrunk(
-            self.num_layers, num_input_images=self.num_input_images,
-            dtype=self.dtype, name="encoder",
+            self.num_layers, dtype=self.dtype, name="encoder",
         )(x, train)

@@ -558,7 +558,12 @@ def _bwd_kernel(
             du0 = g_over_u0 * (_row_col(shift_ref, n, R) - disp0)
             dp0 = du0 * m / s0_n
             dl0_n = p0_n * dp0          # softmax coupling S0 == 0
-            ds0_n = -du0 * p0_n * m / (s0_n * s0_n)
+            # clip pass-through gate on the RAW center sigma (the scratch
+            # holds the clipped value): outside (0.01, 1) the forward is
+            # flat, so the oracle's d_sigma there is 0
+            s0_raw = ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32)
+            gate0 = (s0_raw > 0.01) & (s0_raw < 1.0)
+            ds0_n = -du0 * p0_n * m / (s0_n * s0_n) * gate0
             # shift doubles as the per-plane disparity d_n: its cotangent
             # gains the disp-head term sum_x g/U0 * u0
             dshift_r = dshift_r + jnp.sum(
@@ -675,8 +680,16 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     # window slack for the dynamic lane roll (see _fwd_kernel.window)
     pad = ((pad + 127) // 128) * 128
     Wp = W + 2 * pad + 128
-    # backstop: keep the dynamic slice start within the padded buffer
-    # (shifts this large sample fully out of frame anyway)
+    # backstop: keep the dynamic slice start within the padded buffer.
+    # NOTE this substitutes the sample at the clamped offset, NOT the
+    # zeros the XLA twin would produce — callers must guarantee
+    # pad >= max |shift| so the clamp is dead.  The production bound
+    # (train/step.py:sweep_pad = disp_max*1.08 + 4, lane-rounded up):
+    # vertical shifts max out at disp_max*(disp_max/disp_min)^(0.5/(N-1))
+    # ~= 1.06*disp_max under the +-0.5 plane residual, and ground-plane
+    # disparity DECREASES toward the horizon (disp = dw/ground_layered
+    # with ground_layered -> inf as y -> 0), peaking well below disp_max
+    # at the image bottom.
     shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
     src_p = _pad_w(src_t, pad)

@@ -123,7 +123,7 @@ def test_ground_planes_vary_with_row_only():
 
 
 def test_ground_plane_disparity_formula():
-    cfg = PlaneConfig(disp_levels=1, xz_levels=2, yz_levels=0)
+    cfg = PlaneConfig(disp_levels=2, xz_levels=2, yz_levels=0)
     H, W = 8, 16
     vol = build_plane_volume(_grid(1, H, W), cfg, W)
     gy = np.asarray(identity_norm_grid(H, W))[..., 1]
@@ -132,7 +132,7 @@ def test_ground_plane_disparity_formula():
     # fs_row for identity grid = 1
     ground = h * 1.92 / (y / 2.0) * 1.0
     expected = 0.1 * 0.58 * W / ground
-    got = np.asarray(vol.disp_layered)[0, -1, 0, 1]
+    got = np.asarray(vol.disp_layered)[0, -1, 0, cfg.disp_levels]
     np.testing.assert_allclose(got, expected, rtol=1e-5)
 
 
