@@ -207,6 +207,14 @@ class TrainConfig:
     # rows-per-block R of the sweep kernels (H must divide by it); larger
     # blocks amortize per-plane loop overhead against VMEM pressure
     sweep_rows: int = 8
+    # static per-row-block integer-shift spread bound S for the
+    # row-vectorized ground-plane samplers in the sweep kernels
+    # (ops/pallas_sweep.py taps path).  Ground-plane disparity is linear
+    # in the row, so an R-row block spans <= R * disp_bottom/H_horizon
+    # integer shifts — measured worst case 6 px at the production presets
+    # (tests/test_pallas_sweep.py::test_gp_spread); 8 leaves margin.
+    # 0 falls back to the per-row (single-sublane) sampling path.
+    sweep_gp_taps: int = 8
 
     def __post_init__(self):
         if self.loss.use_mom and not self.flip_right:

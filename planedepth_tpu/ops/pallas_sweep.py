@@ -34,6 +34,7 @@ tests.
 from __future__ import annotations
 
 import functools
+import types
 from typing import Tuple
 
 import jax
@@ -46,20 +47,36 @@ from planedepth_tpu.ops.pallas_disp import _row_col
 F32 = jnp.float32
 
 
-def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad):
+def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
+                   gp_taps=0):
     """Shared in-kernel sampling helpers.
 
-    Two variants per quantity: ``*_vec`` exploits row-constant shifts
-    (vertical planes — one (R, W)-wide window per tap) and ``*_rows``
-    handles per-row shifts (ground planes).  All gathers are lane-aligned
-    dynamic slices + dynamic lane rolls (Mosaic requires slice starts that
-    are multiples of 128).
+    Three variants per quantity: ``*_vec`` exploits row-constant shifts
+    (vertical planes — one (R, W)-wide window per tap), ``*_rows``
+    handles per-row shifts (ground planes) with one single-sublane window
+    per row, and ``*_taps`` handles the same per-row shifts FULLY
+    ROW-VECTORIZED: ground-plane disparity is linear in the image row
+    (geometry/planes.py disp_g = dw*y/(3.84*h*fs)), so within one R-row
+    block the integer shifts span at most ~6 px at production configs —
+    one window anchored at ``min_r floor(shift_r)``, one roll, then
+    ``gp_taps + 2`` static lane-offset taps combined with per-row one-hot
+    weights reproduce every row's 2-tap interpolation with full-height
+    (8-sublane) VPU ops instead of 8 single-sublane windows+rolls.
+    All gathers are lane-aligned dynamic slices + dynamic lane rolls
+    (Mosaic requires slice starts that are multiples of 128).
+
+    ``gp_taps`` is the static per-block spread bound S: row deltas
+    ``floor(shift_r) - min_r floor(shift_r)`` are clamped into [0, S]
+    (same backstop philosophy as the wrapper's |shift| <= pad clip; the
+    production bound is ~6, see tests/test_pallas_sweep.py::test_gp_spread).
+    ``gp_taps=0`` selects the legacy per-row path.
 
     ``ls_ref`` is the INTERLEAVED plane-head buffer ``(2N, R, Wp)`` with
     logits at ``2n`` and sigma at ``2n+1`` — one dynamic window + one roll
     fetches both heads (halves the slicing work vs separate buffers).
     """
     WQ = W + 128
+    WT = W + 256            # taps window: residual <128 + S+1 tap slack
 
     def taps(r, n):
         s = shift_ref[r, n]
@@ -179,8 +196,140 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad):
         c0, c1 = window2_c_vec(p)
         return ((1.0 - f) * c0 + f * c1) * m, (c1 - c0) * m
 
-    return (sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec,
-            sample_lsd_rows, sample_lsd_vec, sample_cd_rows, sample_cd_vec)
+    # --- row-vectorized ground-plane variants (gp_taps > 0) -----------------
+    # One window anchored at the block's extreme integer shift; per-row
+    # residuals delta_r = floor(shift_r) - base in [0, S] are realized by
+    # S+2 STATIC lane-offset taps weighted with per-row one-hots — every
+    # op runs at full sublane occupancy.
+    def k_extreme(n):
+        """(min, max) over the block's rows of floor(shift[r, n])."""
+        k0 = jnp.floor(shift_ref[0, n])
+        kmin = kmax = k0
+        for r in range(1, R):
+            kr = jnp.floor(shift_ref[r, n])
+            kmin = jnp.minimum(kmin, kr)
+            kmax = jnp.maximum(kmax, kr)
+        return kmin, kmax
+
+    def row_onehots(n, base, sign=1.0):
+        """(f_vec (R,1), eq list) with eq[j] = 1[sign*(k_r - base) == j].
+
+        Deltas are clamped into [0, gp_taps] — the taps-path backstop
+        (exact whenever the block spread fits, which production configs
+        guarantee with ~2x margin)."""
+        s_vec = _row_col(shift_ref, n, R)              # (R, 1) f32
+        k_vec = jnp.floor(s_vec)
+        f_vec = s_vec - k_vec
+        d_vec = jnp.clip(sign * (k_vec - base), 0.0, float(gp_taps))
+        eq = [(d_vec == float(j)).astype(F32) for j in range(gp_taps + 1)]
+        return f_vec, eq
+
+    def tap_w(f_vec, eq, reverse=False):
+        """Per-row tap weights, j in 0..S+1.
+
+        forward:  w_j = (1-f) eq[j]   + f eq[j-1]    (2-tap interp)
+        reverse:  w_j = (1-f) eq[j-1] + f eq[j]      (adjoint interp)
+        """
+        S_ = gp_taps
+        one_m_f = 1.0 - f_vec
+        w = []
+        for j in range(S_ + 2):
+            lo = eq[j] if j <= S_ else None
+            hi = eq[j - 1] if j >= 1 else None
+            if reverse:
+                lo, hi = hi, lo
+            wj = one_m_f * lo if lo is not None else 0.0
+            if hi is not None:
+                wj = wj + f_vec * hi
+            w.append(wj)
+        return w
+
+    def tap_d(eq):
+        """Difference weights: d_j picks tap(delta+1) - tap(delta)."""
+        S_ = gp_taps
+        d = []
+        for j in range(S_ + 2):
+            dj = eq[j - 1] if j >= 1 else 0.0
+            if j <= S_:
+                dj = dj - eq[j]
+            d.append(dj)
+        return d
+
+    def taps_combine(rolled, w):
+        acc = rolled[:, :, 0:W] * w[0]
+        for j in range(1, gp_taps + 2):
+            acc = acc + rolled[:, :, j : j + W] * w[j]
+        return acc
+
+    def taps_combine2(rolled, w, d):
+        t = rolled[:, :, 0:W]
+        acc, dacc = t * w[0], t * d[0]
+        for j in range(1, gp_taps + 2):
+            t = rolled[:, :, j : j + W]
+            acc = acc + t * w[j]
+            dacc = dacc + t * d[j]
+        return acc, dacc
+
+    def window_taps(ref_slice, start):
+        """(C, R, WT) window with col 0 = ref[start], via one roll."""
+        q = pl.multiple_of((start // 128) * 128, 128)
+        win = ref_slice(q).astype(F32)
+        return pltpu.roll(win, (WT - (start - q)) % WT, axis=2)
+
+    def window_taps_ls(n, base_i):
+        return window_taps(
+            lambda q: ls_ref[pl.ds(2 * n, 2), :, pl.ds(q, WT)],
+            pad + base_i,
+        )
+
+    def window_taps_c(base_i):
+        return window_taps(
+            lambda q: src_ref[:, :, pl.ds(q, WT)], pad + base_i
+        )
+
+    def sample_ls_taps(n):
+        kmin, _ = k_extreme(n)
+        f_vec, eq = row_onehots(n, kmin)
+        rolled = window_taps_ls(n, kmin.astype(jnp.int32))
+        ls = taps_combine(rolled, tap_w(f_vec, eq))    # (2, R, W)
+        m = _row_col(mask_ref, n, R)
+        return ls[0] * m, jnp.clip(ls[1] * m, 0.01, 1.0)
+
+    def sample_c_taps(n):
+        kmin, _ = k_extreme(n)
+        f_vec, eq = row_onehots(n, kmin)
+        rolled = window_taps_c(kmin.astype(jnp.int32))
+        return taps_combine(rolled, tap_w(f_vec, eq)) * _row_col(
+            mask_ref, n, R
+        )
+
+    def sample_lsd_taps(n):
+        kmin, _ = k_extreme(n)
+        f_vec, eq = row_onehots(n, kmin)
+        rolled = window_taps_ls(n, kmin.astype(jnp.int32))
+        ls, lsd = taps_combine2(rolled, tap_w(f_vec, eq), tap_d(eq))
+        m = _row_col(mask_ref, n, R)
+        return (ls[0] * m, jnp.clip(ls[1] * m, 0.01, 1.0),
+                lsd[0] * m, lsd[1] * m)
+
+    def sample_cd_taps(n):
+        kmin, _ = k_extreme(n)
+        f_vec, eq = row_onehots(n, kmin)
+        rolled = window_taps_c(kmin.astype(jnp.int32))
+        c, cd = taps_combine2(rolled, tap_w(f_vec, eq), tap_d(eq))
+        m = _row_col(mask_ref, n, R)
+        return c * m, cd * m
+
+    return types.SimpleNamespace(
+        ls_rows=sample_ls_rows, ls_vec=sample_ls_vec,
+        c_rows=sample_c_rows, c_vec=sample_c_vec,
+        lsd_rows=sample_lsd_rows, lsd_vec=sample_lsd_vec,
+        cd_rows=sample_cd_rows, cd_vec=sample_cd_vec,
+        ls_taps=sample_ls_taps, c_taps=sample_c_taps,
+        lsd_taps=sample_lsd_taps, cd_taps=sample_cd_taps,
+        k_extreme=k_extreme, row_onehots=row_onehots, tap_w=tap_w,
+        taps_combine=taps_combine, WT=WT,
+    )
 
 
 def _fwd_kernel(
@@ -196,6 +345,7 @@ def _fwd_kernel(
     width: int,
     pad: int,
     with_disp: bool = False,
+    gp_taps: int = 0,
 ):
     if with_disp:
         (rgb_ref, nll_ref, nlla_ref, disp_ref, l_scr, s_scr,
@@ -207,10 +357,12 @@ def _fwd_kernel(
     NV = n_vertical
     WQ = W + 128            # aligned window: residual lane shift < 128
 
-    helpers = _make_samplers(
-        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad
+    sm = _make_samplers(
+        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad, gp_taps=gp_taps
     )
-    sample_ls_rows, sample_ls_vec, sample_c_rows, sample_c_vec = helpers[:4]
+    sample_ls_vec, sample_c_vec = sm.ls_vec, sm.c_vec
+    sample_ls_g = sm.ls_taps if gp_taps else sm.ls_rows
+    sample_c_g = sm.c_taps if gp_taps else sm.c_rows
 
     def fill(n, sampler):
         l_n, s_n = sampler(n)
@@ -243,7 +395,7 @@ def _fwd_kernel(
     else:
         init = jnp.full((R, W), -1e30, F32)
     carry = jax.lax.fori_loop(0, NV, pass1(sample_ls_vec), init)
-    carry = jax.lax.fori_loop(NV, N, pass1(sample_ls_rows), carry)
+    carry = jax.lax.fori_loop(NV, N, pass1(sample_ls_g), carry)
     mx0 = None
     if with_disp:
         mx, mx0 = carry
@@ -292,7 +444,7 @@ def _fwd_kernel(
         jnp.zeros((R, W), F32) for _ in range(n_carry - 3)
     )
     carry = jax.lax.fori_loop(0, NV, pass2(sample_c_vec), carry)
-    carry = jax.lax.fori_loop(NV, N, pass2(sample_c_rows), carry)
+    carry = jax.lax.fori_loop(NV, N, pass2(sample_c_g), carry)
     se, us, rgb_acc, M, Ma = carry[:5]
     inv_se = 1.0 / se                        # se >= exp(0) = 1 at the max
     U = us * inv_se
@@ -331,6 +483,7 @@ def _bwd_kernel(
     pad: int,
     image_grads: bool = True,
     with_disp: bool = False,
+    gp_taps: int = 0,
 ):
     """Adjoint of _fwd_kernel, same slicing structure, scatter-free.
 
@@ -368,13 +521,14 @@ def _bwd_kernel(
     N, R, W = n_planes, rows, width
     NV = n_vertical
     WQ = W + 128
-    WG = W + 2 * pad + 128
+    WG = W + 2 * pad + (256 if gp_taps else 128)
 
-    helpers = _make_samplers(
-        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad
+    sm = _make_samplers(
+        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad, gp_taps=gp_taps
     )
-    sample_lsd_rows, sample_lsd_vec = helpers[4:6]
-    sample_cd_rows, sample_cd_vec = helpers[6:8]
+    sample_lsd_vec, sample_cd_vec = sm.lsd_vec, sm.cd_vec
+    sample_lsd_g = sm.lsd_taps if gp_taps else sm.lsd_rows
+    sample_cd_g = sm.cd_taps if gp_taps else sm.cd_rows
 
     def taps(r, n):
         s = shift_ref[r, n]
@@ -425,7 +579,7 @@ def _bwd_kernel(
     else:
         init = jnp.full((R, W), -1e30, F32)
     carry1 = jax.lax.fori_loop(0, NV, pass1(sample_lsd_vec), init)
-    carry1 = jax.lax.fori_loop(NV, N, pass1(sample_lsd_rows), carry1)
+    carry1 = jax.lax.fori_loop(NV, N, pass1(sample_lsd_g), carry1)
     mx0 = None
     if with_disp:
         mx, mx0 = carry1
@@ -482,7 +636,7 @@ def _bwd_kernel(
     n_carry = (6 if image_grads else 4) + (3 if with_disp else 0)
     carry = tuple(jnp.zeros((R, W), F32) for _ in range(n_carry))
     carry = jax.lax.fori_loop(0, NV, pass2(sample_cd_vec), carry)
-    carry = jax.lax.fori_loop(NV, N, pass2(sample_cd_rows), carry)
+    carry = jax.lax.fori_loop(NV, N, pass2(sample_cd_g), carry)
     se, U, A, M = carry[:4]
     inv_se = 1.0 / se                    # se >= exp(0) = 1 at the max
     U = U * inv_se
@@ -626,18 +780,50 @@ def _bwd_kernel(
             dsig_ref[n, pl.ds(r, 1)] = bs.astype(dsig_ref.dtype)
         return 0
 
+    def pass3_taps(n, _):
+        """Row-vectorized ground-plane emission: ONE staged write + ONE
+        reverse window per quantity, with the per-row reverse offsets
+        realized by the same static-tap machinery as the forward samplers
+        (anchor = max_r floor(shift_r), deltas = kmax - k_r)."""
+        dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n = plane_grads(n)
+        dshift_ref[n] = jnp.broadcast_to(dshift_r[:, None], (R, 128))
+
+        kmin, kmax = sm.k_extreme(n)
+        f_vec, eqr = sm.row_onehots(n, kmax, sign=-1.0)
+        wrev = sm.tap_w(f_vec, eqr, reverse=True)
+        base_rev = (pad - 1) - kmax.astype(jnp.int32)
+        q = pl.multiple_of((base_rev // 128) * 128, 128)
+        amt = (sm.WT - (base_rev - q)) % sm.WT
+        m_vec = _row_col(mask_ref, n, R)               # (R, 1)
+
+        def g_back_taps(chans):
+            win = g_scr[pl.ds(0, chans), :, pl.ds(q, sm.WT)]
+            return sm.taps_combine(pltpu.roll(win, amt, axis=2), wrev)
+
+        if image_grads:
+            g_scr[:, :, pl.ds(pad, W)] = dc_n * m_vec
+            dsrc_ref[...] += g_back_taps(3)
+        g_scr[0, :, pl.ds(pad, W)] = dl_n * m_vec
+        g_scr[1, :, pl.ds(pad, W)] = ds_g * m_vec
+        back = g_back_taps(2)
+        bl, bs = center_add(back[0], back[1], dl0_n, ds0_n)
+        dlog_ref[n] = bl.astype(dlog_ref.dtype)
+        dsig_ref[n] = bs.astype(dsig_ref.dtype)
+        return 0
+
     jax.lax.fori_loop(0, NV, pass3_vec, 0)
-    jax.lax.fori_loop(NV, N, pass3_rows, 0)
+    jax.lax.fori_loop(NV, N, pass3_taps if gp_taps else pass3_rows, 0)
 
 
-def _pad_w(x, pad):
-    """Zero-pad the trailing W axis: ``pad`` left, ``pad + 128`` right
-    (the extra 128 is window slack for the dynamic lane roll)."""
-    cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad + 128)]
+def _pad_w(x, pad, slack=128):
+    """Zero-pad the trailing W axis: ``pad`` left, ``pad + slack`` right
+    (the slack is window room for the dynamic lane roll: 128 for the
+    per-row windows, 256 when the ground-plane taps path is on)."""
+    cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad + slack)]
     return jnp.pad(x, cfg)
 
 
-def _pack_ls(logits_t, sigma_t, pad):
+def _pack_ls(logits_t, sigma_t, pad, slack=128):
     """Interleave (B, N, H, W) logits/sigma into a padded (B, 2N, H, Wp)
     buffer (logits at 2n, sigma at 2n+1) — ONE window+roll in the kernel
     then fetches both heads.  This replaces the two separate transposes
@@ -645,16 +831,19 @@ def _pack_ls(logits_t, sigma_t, pad):
     HBM traffic."""
     B, N, H, W = logits_t.shape
     ls = jnp.stack([logits_t, sigma_t], axis=2).reshape(B, 2 * N, H, W)
-    return _pad_w(ls, pad)
+    return _pad_w(ls, pad, slack)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pad", "rows", "interpret", "n_vertical", "with_disp"),
+    static_argnames=(
+        "pad", "rows", "interpret", "n_vertical", "with_disp", "gp_taps",
+    ),
 )
 def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                   pad: int, rows: int = 8, interpret: bool = False,
-                  n_vertical: int = 0, with_disp: bool = False):
+                  n_vertical: int = 0, with_disp: bool = False,
+                  gp_taps: int = 0):
     """Run the fused forward kernel.
 
     Args:
@@ -677,9 +866,11 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     R = rows
     assert H % R == 0, (H, R)
     # pad to a multiple of 128 so static slices stay lane-aligned, +128
-    # window slack for the dynamic lane roll (see _fwd_kernel.window)
+    # window slack for the dynamic lane roll (see _fwd_kernel.window);
+    # the ground-plane taps path needs 256 (WT windows)
     pad = ((pad + 127) // 128) * 128
-    Wp = W + 2 * pad + 128
+    slack = 256 if gp_taps else 128
+    Wp = W + 2 * pad + slack
     # backstop: keep the dynamic slice start within the padded buffer.
     # NOTE this substitutes the sample at the clamped offset, NOT the
     # zeros the XLA twin would produce — callers must guarantee
@@ -692,12 +883,12 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     # at the image bottom.
     shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
-    src_p = _pad_w(src_t, pad)
-    ls_p = _pack_ls(logits_t, sigma_t, pad)
+    src_p = _pad_w(src_t, pad, slack)
+    ls_p = _pack_ls(logits_t, sigma_t, pad, slack)
 
     kernel = functools.partial(
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
-        pad=pad, with_disp=with_disp,
+        pad=pad, with_disp=with_disp, gp_taps=gp_taps,
     )
 
     row_spec = pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
@@ -746,13 +937,14 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "image_grads", "with_disp",
+        "gp_taps",
     ),
 )
 def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
                    g_rgb, g_nll, g_nla, g_disp=None,
                    pad: int = 0, rows: int = 8, interpret: bool = False,
                    n_vertical: int = 0, image_grads: bool = True,
-                   with_disp: bool = False):
+                   with_disp: bool = False, gp_taps: int = 0):
     """Pallas backward kernel invocation (adjoint of sweep_forward).
 
     ``image_grads=False`` (the train-step configuration — images are
@@ -766,16 +958,18 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     N = logits_t.shape[1]
     R = rows
     pad = ((pad + 127) // 128) * 128
-    Wp = W + 2 * pad + 128
-    WG = W + 2 * pad + 128
+    slack = 256 if gp_taps else 128
+    Wp = W + 2 * pad + slack
+    WG = W + 2 * pad + slack
     shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
-    src_p = _pad_w(src_t, pad)
-    ls_p = _pack_ls(logits_t, sigma_t, pad)
+    src_p = _pad_w(src_t, pad, slack)
+    ls_p = _pack_ls(logits_t, sigma_t, pad, slack)
 
     kernel = functools.partial(
         _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
         pad=pad, image_grads=image_grads, with_disp=with_disp,
+        gp_taps=gp_taps,
     )
 
     def vspec(shape_prefix, Wd):
@@ -1146,11 +1340,12 @@ def _shift_gather_int(maps, k, W):
     return jnp.where(valid[:, None], g, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
                       pad: int, interpret: bool = False,
                       n_vertical: int = 0, image_grads: bool = True,
-                      with_disp: bool = False, rows: int = 8):
+                      with_disp: bool = False, rows: int = 8,
+                      gp_taps: int = 0):
     """Fused plane-sweep: Pallas forward + hand-derived scatter-free VJP.
 
     The automask NLL treats pi/sigma as constants by definition (reference
@@ -1162,19 +1357,21 @@ def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
     """
     return sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                          pad=pad, rows=rows, interpret=interpret,
-                         n_vertical=n_vertical, with_disp=with_disp)
+                         n_vertical=n_vertical, with_disp=with_disp,
+                         gp_taps=gp_taps)
 
 
 def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
-             interpret, n_vertical, image_grads, with_disp, rows):
+             interpret, n_vertical, image_grads, with_disp, rows, gp_taps):
     out = sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                         pad=pad, rows=rows, interpret=interpret,
-                        n_vertical=n_vertical, with_disp=with_disp)
+                        n_vertical=n_vertical, with_disp=with_disp,
+                        gp_taps=gp_taps)
     return out, (src_t, target_t, logits_t, sigma_t, shift, mask)
 
 
 def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
-             res, cts):
+             gp_taps, res, cts):
     src_t, target_t, logits_t, sigma_t, shift, mask = res
     cts = [x.astype(F32) for x in cts]
     g_disp = cts[3] if with_disp else None
@@ -1183,6 +1380,7 @@ def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
         cts[0], cts[1], cts[2], g_disp, pad=pad, rows=rows,
         interpret=interpret,
         n_vertical=n_vertical, image_grads=image_grads, with_disp=with_disp,
+        gp_taps=gp_taps,
     )
 
 

@@ -381,7 +381,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         lambda s, t, l, sg, sh, m: fused_plane_sweep(
             s, t, l, sg, sh, m, pad, interpret, n_vertical,
             False,                   # image_grads: images are never diffed
-            with_disp, cfg.sweep_rows,
+            with_disp, cfg.sweep_rows, cfg.sweep_gp_taps,
         ),
         in_rows=(2, 2, 2, 2, 1, 1),
         out_rows=(2, 1, 1) + ((1,) if with_disp else ()),

@@ -25,12 +25,17 @@ from planedepth_tpu.ops.pallas_sweep import (
 
 def make(B, H, W, N, seed=0, dtype=jnp.float32, n_vertical=0,
          max_shift=40.0):
-    """Synthetic sweep inputs.  The first ``n_vertical`` planes get
-    ROW-CONSTANT shifts (the production vertical-plane structure the
-    vectorized kernel paths rely on); the rest vary per row (ground
-    planes)."""
+    """Synthetic sweep inputs with the PRODUCTION shift structure: the
+    first ``n_vertical`` planes get ROW-CONSTANT shifts (vertical
+    planes), the rest are LINEAR IN THE ROW (ground planes — disparity
+    dw*y/(3.84*h*fs), slope <= ~0.8 px/row at stage-1 HR), which bounds
+    the per-8-row-block integer spread the gp_taps kernel path relies
+    on (tests/test_pallas_sweep.py::test_gp_spread)."""
     rng = np.random.default_rng(seed)
-    shift = rng.uniform(0.0, max_shift, (B, H, N)).astype(np.float32)
+    base = rng.uniform(0.0, max_shift * 0.2, (B, 1, N)).astype(np.float32)
+    slope = rng.uniform(0.0, 0.75, (B, 1, N)).astype(np.float32)
+    r = np.arange(H, dtype=np.float32)[None, :, None]
+    shift = base + slope * r
     mask = (rng.uniform(0, 1, (B, H, N)) > 0.2).astype(np.float32)
     if n_vertical:
         # vertical planes: shift AND mask are row-constant (production
@@ -53,12 +58,7 @@ def check(n_vertical=49):
     B, H, W, N = 2, 64, 640, 63
     args = make(B, H, W, N, n_vertical=n_vertical)
     pad = 64
-    out_k = sweep_forward(*args, pad=pad, n_vertical=n_vertical)
     out_o = oracle_dense(*args)
-    for name, a, b in zip(("rgb", "nll", "nll_auto"), out_k, out_o):
-        a, b = np.asarray(a), np.asarray(b)
-        print(f"fwd {name}: maxabs={np.abs(a-b).max():.3e}")
-
     g = [jnp.ones_like(o) for o in out_o]
 
     def scal(fn):
@@ -67,20 +67,29 @@ def check(n_vertical=49):
             return sum(jnp.sum(x * y) for x, y in zip(o, g))
         return w
 
-    gf = jax.grad(scal(lambda *a: fused_plane_sweep(*a, pad, False,
-                                                    n_vertical)),
-                  argnums=(0, 1, 2, 3, 4))(*args[:5])
     go = jax.grad(scal(oracle_dense), argnums=(0, 1, 2, 3, 4))(*args[:5])
-    for name, a, b in zip(("src", "tgt", "log", "sig", "shift"), gf, go):
-        a, b = np.asarray(a), np.asarray(b)
-        print(f"grad {name}: maxabs={np.abs(a-b).max():.3e} "
-              f"ref|max|={np.abs(b).max():.3e}")
+    for gp_taps in (0, 8):
+        out_k = sweep_forward(*args, pad=pad, n_vertical=n_vertical,
+                              gp_taps=gp_taps)
+        for name, a, b in zip(("rgb", "nll", "nll_auto"), out_k, out_o):
+            a, b = np.asarray(a), np.asarray(b)
+            print(f"[gp{gp_taps}] fwd {name}: maxabs={np.abs(a-b).max():.3e}")
+
+        gf = jax.grad(
+            scal(lambda *a: fused_plane_sweep(*a, pad, False, n_vertical,
+                                              True, False, 8, gp_taps)),
+            argnums=(0, 1, 2, 3, 4),
+        )(*args[:5])
+        for name, a, b in zip(("src", "tgt", "log", "sig", "shift"), gf, go):
+            a, b = np.asarray(a), np.asarray(b)
+            print(f"[gp{gp_taps}] grad {name}: maxabs={np.abs(a-b).max():.3e} "
+                  f"ref|max|={np.abs(b).max():.3e}")
 
 
-def timeit_shapes(B=8, n_vertical=49):
+def timeit_shapes(B=8, n_vertical=49, gp_taps=8):
     """Stage-1 HR shape with the PRODUCTION plane structure: 49 vertical
     planes (row-constant shifts -> vectorized kernel paths) + 14 ground
-    planes (per-row shifts)."""
+    planes (per-row shifts, linear in the row)."""
     H, W, N = 384, 1280, 63
     args = make(B, H, W, N, dtype=jnp.bfloat16, n_vertical=n_vertical,
                 max_shift=300.0)
@@ -95,7 +104,8 @@ def timeit_shapes(B=8, n_vertical=49):
     @jax.jit
     def fwd_probe(dummy, *a):
         a = (a[0] + dummy.astype(a[0].dtype) * 0,) + a[1:]
-        o = sweep_forward(*a, pad=pad, n_vertical=n_vertical)
+        o = sweep_forward(*a, pad=pad, n_vertical=n_vertical,
+                          gp_taps=gp_taps)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
 
     def slope(fn, n_small, n_big):
@@ -112,11 +122,13 @@ def timeit_shapes(B=8, n_vertical=49):
 
     float(jax.device_get(fwd_probe(jnp.float32(0), *args)))   # compile
     dt = slope(lambda s: fwd_probe(s, *args), 2, 10)
-    print(f"fwd kernel: {dt*1e3:.2f} ms (B{B} {H}x{W} N{N} nv{n_vertical})")
+    print(f"fwd kernel: {dt*1e3:.2f} ms (B{B} {H}x{W} N{N} nv{n_vertical} "
+          f"gp{gp_taps})")
 
     def loss(dummy, *a5):
         a5 = (a5[0] + dummy.astype(a5[0].dtype) * 0,) + a5[1:]
-        o = fused_plane_sweep(*a5, args[5], pad, False, n_vertical)
+        o = fused_plane_sweep(*a5, args[5], pad, False, n_vertical,
+                              True, False, 8, gp_taps)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
 
     gr = jax.jit(jax.value_and_grad(loss, argnums=(1, 3, 4, 5)))
@@ -135,4 +147,5 @@ if __name__ == "__main__":
     if mode == "check":
         check()
     else:
-        timeit_shapes()
+        gp = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        timeit_shapes(gp_taps=gp)

@@ -272,6 +272,130 @@ def test_manual_xla_adjoint_matches_autodiff():
         )
 
 
+H2 = 16        # two 8-row blocks for the taps-path tests
+
+
+def _inputs_gp(max_slope=0.9):
+    """Inputs with shift fields LINEAR in the row (the ground-plane
+    structure): per-8-row-block integer spread <= ceil(7*max_slope) + 1
+    <= 8, within the taps-path bound."""
+    src = RNG.uniform(0, 1, (B, 3, H2, W)).astype(np.float32)
+    tgt = RNG.uniform(0, 1, (B, 3, H2, W)).astype(np.float32)
+    logits = RNG.standard_normal((B, N, H2, W)).astype(np.float32)
+    sigma = RNG.uniform(0.05, 0.95, (B, N, H2, W)).astype(np.float32)
+    base = RNG.uniform(-6.0, 6.0, (B, 1, N)).astype(np.float32)
+    slope = RNG.uniform(-max_slope, max_slope, (B, 1, N)).astype(np.float32)
+    r = np.arange(H2, dtype=np.float32)[None, :, None]
+    shift = base + slope * r
+    mask = (RNG.uniform(0, 1, (B, H2, N)) > 0.2).astype(np.float32)
+    return tuple(jnp.asarray(x) for x in (src, tgt, logits, sigma, shift,
+                                          mask))
+
+
+def test_gp_spread():
+    """Production plane geometry: the worst-case per-8-row-block integer
+    shift spread of the ground planes stays within the taps-path bound
+    (config.sweep_gp_taps = 8).  Sweeps the full crop_factor augmentation
+    range and the +-0.5 residual overshoot at stage-1 HR resolution."""
+    from planedepth_tpu.config import PlaneConfig, TrainConfig
+    from planedepth_tpu.geometry.planes import build_plane_volume
+
+    cfg = TrainConfig()
+    pcfg: PlaneConfig = cfg.model.planes
+    Ht, Wt = cfg.data.height, cfg.data.width          # 384 x 1280
+    R = cfg.sweep_rows
+    worst = 0.0
+    for f in np.linspace(max((Ht + 1) / Ht, cfg.data.crop_factor[0]),
+                         cfg.data.crop_factor[1], 7):
+        Hs, Ws = int(Ht * f), int(Wt * f)
+        gx = np.linspace(-1.0, 1.0, Ws, dtype=np.float32)
+        gy = np.linspace(-1.0, 1.0, Hs, dtype=np.float32)
+        for h0, w0 in ((0, 0), (Hs - Ht, Ws - Wt), (Hs - Ht, 0)):
+            grid = np.stack(
+                np.meshgrid(gx[w0 : w0 + Wt], gy[h0 : h0 + Ht]), axis=-1
+            )[None]
+            for rsign in (-0.5, 0.5):
+                resid = np.full(
+                    (1, pcfg.all_levels), rsign, dtype=np.float32
+                )
+                vol = build_plane_volume(
+                    jnp.asarray(grid), pcfg, Wt,
+                    residual_levels=jnp.asarray(resid),
+                )
+                disp_g = np.asarray(
+                    vol.disp_layered[0, :, 0, pcfg.disp_levels :]
+                )                                      # (H, xz)
+                k = np.floor(disp_g).reshape(Ht // R, R, -1)
+                spread = (k.max(1) - k.min(1)).max()
+                worst = max(worst, float(spread))
+    assert worst <= 8.0, worst
+    # the measured production bound the default was sized against
+    assert worst <= 6.0, worst
+
+
+def test_gp_taps_forward_matches_rows_path():
+    """gp_taps > 0 (row-vectorized ground planes) must equal the per-row
+    path (itself oracle-verified) when per-block spreads fit the bound —
+    incl. the fused with_disp head."""
+    src, tgt, logits, sigma, shift, mask = _inputs_gp()
+    for with_disp in (False, True):
+        a = sweep_forward(src, tgt, logits, sigma, shift, mask, pad=PAD,
+                          rows=8, interpret=True, n_vertical=0,
+                          with_disp=with_disp, gp_taps=8)
+        b = sweep_forward(src, tgt, logits, sigma, shift, mask, pad=PAD,
+                          rows=8, interpret=True, n_vertical=0,
+                          with_disp=with_disp, gp_taps=0)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("image_grads", [True, False])
+def test_gp_taps_vjp_matches_rows_path(image_grads):
+    """Backward taps path (pass3_taps + lsd/cd_taps recomputation) ==
+    per-row path gradients, in both VJP configurations."""
+    src, tgt, logits, sigma, shift, mask = _inputs_gp()
+    g_rgb = jnp.asarray(RNG.standard_normal((B, 3, H2, W)).astype(np.float32))
+    g_nll = jnp.asarray(RNG.standard_normal((B, H2, W)).astype(np.float32))
+    g_nla = jnp.asarray(RNG.standard_normal((B, H2, W)).astype(np.float32))
+    g_dsp = jnp.asarray(RNG.standard_normal((B, H2, W)).astype(np.float32))
+
+    def scalarize(gp):
+        def wrapped(src_, logits_, sigma_, shift_):
+            out = fused_plane_sweep(
+                src_, tgt, logits_, sigma_, shift_, mask,
+                PAD, True, 0, image_grads, True, 8, gp,
+            )
+            return (jnp.sum(out[0] * g_rgb) + jnp.sum(out[1] * g_nll)
+                    + jnp.sum(out[2] * g_nla) + jnp.sum(out[3] * g_dsp))
+        return wrapped
+
+    gt_ = jax.grad(scalarize(8), argnums=(0, 1, 2, 3))(src, logits, sigma,
+                                                       shift)
+    gr = jax.grad(scalarize(0), argnums=(0, 1, 2, 3))(src, logits, sigma,
+                                                      shift)
+    for a, b, name in zip(gt_, gr, ("src", "logits", "sigma", "shift")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_gp_taps_mixed_vertical():
+    """n_vertical > 0 with the taps path: vertical planes ride the vec
+    samplers, ground planes the taps samplers, same results."""
+    src, tgt, logits, sigma, shift, mask = _inputs_gp()
+    nv = 2
+    shift = shift.at[:, :, :nv].set(
+        jnp.broadcast_to(shift[:, :1, :nv], shift[:, :, :nv].shape)
+    )
+    a = sweep_forward(src, tgt, logits, sigma, shift, mask, pad=PAD,
+                      rows=8, interpret=True, n_vertical=nv, gp_taps=8)
+    b = sweep_forward(src, tgt, logits, sigma, shift, mask, pad=PAD,
+                      rows=8, interpret=True, n_vertical=nv, gp_taps=0)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_oracle_matches_view_synthesis_composition():
     """The fused op's math == pred_novel_images + multimodal_nll."""
     from planedepth_tpu.ops.losses import multimodal_nll
