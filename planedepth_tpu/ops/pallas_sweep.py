@@ -559,8 +559,10 @@ def _bwd_kernel(
             l_n, s_n, ld_n, sd_n = sampler(n)
             l_scr[n] = l_n
             s_scr[n] = s_n
-            ld_scr[n] = ld_n
-            sd_scr[n] = sd_n
+            # input-dtype tap-diff cache (bf16 in production — same
+            # traffic-halving rationale as c/cd in pass2)
+            ld_scr[n] = ld_n.astype(ld_scr.dtype)
+            sd_scr[n] = sd_n.astype(sd_scr.dtype)
             if not with_disp:
                 return jnp.maximum(carry, l_n)
             mx, mx0 = carry
@@ -701,7 +703,8 @@ def _bwd_kernel(
         # d/dshift: one (R,) reduction over the cached tap diffs (the
         # diffs carry the mask; the adjoints are multiplied by it anyway)
         dshift_r = (
-            jnp.sum(dl_n * ld_scr[n] + ds_gate * sd_scr[n], axis=1)
+            jnp.sum(dl_n * ld_scr[n].astype(F32)
+                    + ds_gate * sd_scr[n].astype(F32), axis=1)
             + jnp.sum(dc_n * cd_scr[n].astype(F32), axis=(0, 2))
         )                                                   # (R,)
         dl0_n = ds0_n = None
@@ -1015,8 +1018,8 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
         scratch_shapes=[
             pltpu.VMEM((N, R, W), F32),       # l
             pltpu.VMEM((N, R, W), F32),       # s
-            pltpu.VMEM((N, R, W), F32),       # ld (tap diffs)
-            pltpu.VMEM((N, R, W), F32),       # sd
+            pltpu.VMEM((N, R, W), logits_t.dtype),   # ld (tap diffs)
+            pltpu.VMEM((N, R, W), sigma_t.dtype),    # sd
             pltpu.VMEM((N, 3, R, W), src_t.dtype),    # c (see pass2)
             pltpu.VMEM((N, 3, R, W), src_t.dtype),    # cd
             pltpu.VMEM((3, R, WG), F32),      # reverse-window staging

@@ -86,7 +86,7 @@ def check(n_vertical=49):
                   f"ref|max|={np.abs(b).max():.3e}")
 
 
-def timeit_shapes(B=8, n_vertical=49, gp_taps=8):
+def timeit_shapes(B=8, n_vertical=49, gp_taps=8, rows=8):
     """Stage-1 HR shape with the PRODUCTION plane structure: 49 vertical
     planes (row-constant shifts -> vectorized kernel paths) + 14 ground
     planes (per-row shifts, linear in the row)."""
@@ -105,7 +105,7 @@ def timeit_shapes(B=8, n_vertical=49, gp_taps=8):
     def fwd_probe(dummy, *a):
         a = (a[0] + dummy.astype(a[0].dtype) * 0,) + a[1:]
         o = sweep_forward(*a, pad=pad, n_vertical=n_vertical,
-                          gp_taps=gp_taps)
+                          gp_taps=gp_taps, rows=rows)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
 
     def slope(fn, n_small, n_big):
@@ -123,12 +123,12 @@ def timeit_shapes(B=8, n_vertical=49, gp_taps=8):
     float(jax.device_get(fwd_probe(jnp.float32(0), *args)))   # compile
     dt = slope(lambda s: fwd_probe(s, *args), 2, 10)
     print(f"fwd kernel: {dt*1e3:.2f} ms (B{B} {H}x{W} N{N} nv{n_vertical} "
-          f"gp{gp_taps})")
+          f"gp{gp_taps} r{rows})")
 
     def loss(dummy, *a5):
         a5 = (a5[0] + dummy.astype(a5[0].dtype) * 0,) + a5[1:]
         o = fused_plane_sweep(*a5, args[5], pad, False, n_vertical,
-                              True, False, 8, gp_taps)
+                              True, False, rows, gp_taps)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
 
     gr = jax.jit(jax.value_and_grad(loss, argnums=(1, 3, 4, 5)))
@@ -148,4 +148,5 @@ if __name__ == "__main__":
         check()
     else:
         gp = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-        timeit_shapes(gp_taps=gp)
+        rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+        timeit_shapes(gp_taps=gp, rows=rows)

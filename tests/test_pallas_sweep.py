@@ -304,7 +304,7 @@ def test_gp_spread():
     pcfg: PlaneConfig = cfg.model.planes
     Ht, Wt = cfg.data.height, cfg.data.width          # 384 x 1280
     R = cfg.sweep_rows
-    worst = 0.0
+    worst = worst16 = 0.0
     for f in np.linspace(max((Ht + 1) / Ht, cfg.data.crop_factor[0]),
                          cfg.data.crop_factor[1], 7):
         Hs, Ws = int(Ht * f), int(Wt * f)
@@ -328,9 +328,13 @@ def test_gp_spread():
                 k = np.floor(disp_g).reshape(Ht // R, R, -1)
                 spread = (k.max(1) - k.min(1)).max()
                 worst = max(worst, float(spread))
+                k16 = np.floor(disp_g).reshape(Ht // 16, 16, -1)
+                worst16 = max(worst16, float((k16.max(1) - k16.min(1)).max()))
     assert worst <= 8.0, worst
     # the measured production bound the default was sized against
     assert worst <= 6.0, worst
+    # sweep_rows=16 bound (the gp_taps value a 16-row config needs)
+    assert worst16 <= 14.0, worst16
 
 
 def test_gp_taps_forward_matches_rows_path():
