@@ -308,18 +308,39 @@ class DepthDecoder(nn.Module):
 
         n_logits = all_levels - 1 if self.render_probability else all_levels
         if use_s2d and self.fused_sweep_loss and train:
-            # fused-sweep training with the s2d tail: emit the RAW
-            # phase-packed heads — the loss builds the kernel operands
-            # with one combined transpose and the kernel applies the
-            # (row-constant) mask itself, so the full-res NHWC
-            # logits/sigma never materialize at all
-            lg4 = head_conv_s2d(n_logits, "dispconv")
-            sg4 = head_conv_s2d(all_levels, "sigmaconv")
+            # fused-sweep training with the s2d tail: ONE merged head conv
+            # whose output channels interleave dispconv/sigmaconv at the
+            # WEIGHT level (within each s2d phase block, channel 2c is
+            # logits plane c and 2c+1 is sigma plane c).  One plane-first
+            # transpose in the loss then yields exactly the (B, 2N, H, W)
+            # ``ls`` operand of ops/pallas_sweep.fused_plane_sweep_packed
+            # — separate full-res logits/sigma (and the stack/interleave
+            # copy + its adjoint) never exist.  The param tree is
+            # unchanged: the canonical kernels are interleaved at APPLY
+            # time, so checkpoints, torch conversion and the non-fused
+            # path are untouched.  Raw logits — the sweep kernel applies
+            # the (row-constant) padding mask itself.
+            from planedepth_tpu.models import s2d
+
+            kl, bl = s2d.Conv3x3Params(
+                n_logits, NUM_CH_DEC[0], name="dispconv")()
+            ks, bs = s2d.Conv3x3Params(
+                all_levels, NUM_CH_DEC[0], name="sigmaconv")()
+            km = jnp.stack([kl, ks], axis=-1).reshape(
+                3, 3, NUM_CH_DEC[0], 2 * all_levels)
+            bm = jnp.stack([bl, bs], axis=-1).reshape(2 * all_levels)
+            ls4 = s2d.conv_valid(
+                s2d.phase_pad(z4, "reflect"), s2d.s2d_conv_kernel(km),
+                s2d.tile_bias(bm), self.dtype,
+            )                                  # (B, H/2, W/2, 4*2N)
             if head_f32:
-                lg4 = lg4.astype(jnp.float32)
-                sg4 = sg4.astype(jnp.float32)
-            outputs["logits_s2d"] = lg4
-            outputs["sigma_s2d"] = jnp.clip(nn.sigmoid(sg4), 0.01, 1.0)
+                ls4 = ls4.astype(jnp.float32)
+            # odd channels are sigma (the phase block size 2N is even, so
+            # parity survives the phase-major packing): sigmoid+clip there
+            is_sigma = (jnp.arange(ls4.shape[-1]) % 2) == 1
+            outputs["ls_s2d"] = jnp.where(
+                is_sigma, jnp.clip(nn.sigmoid(ls4), 0.01, 1.0), ls4
+            )
             return outputs
 
         logits = head_conv(n_logits, "dispconv")

@@ -484,6 +484,7 @@ def _bwd_kernel(
     image_grads: bool = True,
     with_disp: bool = False,
     gp_taps: int = 0,
+    packed_grads: bool = False,
 ):
     """Adjoint of _fwd_kernel, same slicing structure, scatter-free.
 
@@ -503,6 +504,11 @@ def _bwd_kernel(
     the images — pi/sigma are detached there by definition).  The train
     step never differentiates w.r.t. the batch images, so this is the
     production configuration.
+
+    ``packed_grads=True`` emits ONE interleaved (2N, R, W) head-gradient
+    output (d_logits at 2n, d_sigma at 2n+1 — the same layout the packed
+    ``ls`` input uses) instead of two (N, R, W) outputs; the caller's
+    adjoint repack to the s2d decoder heads is then a single transpose.
     """
     refs = list(refs)
     gdisp_ref = refs.pop(0) if with_disp else None
@@ -512,12 +518,17 @@ def _bwd_kernel(
     else:
         l0_scr = s0_scr = None
     if image_grads:
-        (dsrc_ref, dtgt_ref, dlog_ref, dsig_ref, dshift_ref,
+        dsrc_ref, dtgt_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        dsrc_ref = dtgt_ref = None
+    if packed_grads:
+        (dlog_ref, dshift_ref,
          l_scr, s_scr, ld_scr, sd_scr, c_scr, cd_scr, g_scr) = refs
+        dsig_ref = None
     else:
         (dlog_ref, dsig_ref, dshift_ref,
          l_scr, s_scr, ld_scr, sd_scr, c_scr, cd_scr, g_scr) = refs
-        dsrc_ref = dtgt_ref = None
     N, R, W = n_planes, rows, width
     NV = n_vertical
     WQ = W + 128
@@ -733,6 +744,22 @@ def _bwd_kernel(
             return back_l, back_s
         return back_l + dl0_n, back_s + ds0_n
 
+    def emit_ls(n, bl, bs):
+        if packed_grads:
+            dlog_ref[2 * n] = bl.astype(dlog_ref.dtype)
+            dlog_ref[2 * n + 1] = bs.astype(dlog_ref.dtype)
+        else:
+            dlog_ref[n] = bl.astype(dlog_ref.dtype)
+            dsig_ref[n] = bs.astype(dsig_ref.dtype)
+
+    def emit_ls_row(n, r, bl, bs):
+        if packed_grads:
+            dlog_ref[2 * n, pl.ds(r, 1)] = bl.astype(dlog_ref.dtype)
+            dlog_ref[2 * n + 1, pl.ds(r, 1)] = bs.astype(dlog_ref.dtype)
+        else:
+            dlog_ref[n, pl.ds(r, 1)] = bl.astype(dlog_ref.dtype)
+            dsig_ref[n, pl.ds(r, 1)] = bs.astype(dsig_ref.dtype)
+
     def pass3_vec(n, _):
         dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n = plane_grads(n)
         p, f = taps(0, n)
@@ -749,8 +776,7 @@ def _bwd_kernel(
         g_scr[1, :, pl.ds(pad, W)] = ds_g * m
         back2 = g_back_vec(rev, f)
         bl, bs = center_add(back2[0], back2[1], dl0_n, ds0_n)
-        dlog_ref[n] = bl.astype(dlog_ref.dtype)
-        dsig_ref[n] = bs.astype(dsig_ref.dtype)
+        emit_ls(n, bl, bs)
         return 0
 
     def pass3_rows(n, _):
@@ -779,8 +805,7 @@ def _bwd_kernel(
                 bs = back[1] + ds0_n[r : r + 1]
             else:
                 bl, bs = back[0], back[1]
-            dlog_ref[n, pl.ds(r, 1)] = bl.astype(dlog_ref.dtype)
-            dsig_ref[n, pl.ds(r, 1)] = bs.astype(dsig_ref.dtype)
+            emit_ls_row(n, r, bl, bs)
         return 0
 
     def pass3_taps(n, _):
@@ -810,8 +835,7 @@ def _bwd_kernel(
         g_scr[1, :, pl.ds(pad, W)] = ds_g * m_vec
         back = g_back_taps(2)
         bl, bs = center_add(back[0], back[1], dl0_n, ds0_n)
-        dlog_ref[n] = bl.astype(dlog_ref.dtype)
-        dsig_ref[n] = bs.astype(dsig_ref.dtype)
+        emit_ls(n, bl, bs)
         return 0
 
     jax.lax.fori_loop(0, NV, pass3_vec, 0)
@@ -826,15 +850,15 @@ def _pad_w(x, pad, slack=128):
     return jnp.pad(x, cfg)
 
 
-def _pack_ls(logits_t, sigma_t, pad, slack=128):
-    """Interleave (B, N, H, W) logits/sigma into a padded (B, 2N, H, Wp)
-    buffer (logits at 2n, sigma at 2n+1) — ONE window+roll in the kernel
-    then fetches both heads.  This replaces the two separate transposes
-    the call site would otherwise feed the kernel, so it costs no extra
-    HBM traffic."""
+def _interleave_ls(logits_t, sigma_t):
+    """Interleave (B, N, H, W) logits/sigma into (B, 2N, H, W) with
+    logits at 2n and sigma at 2n+1 — ONE window+roll in the kernel then
+    fetches both heads.  The s2d production path skips this entirely:
+    the decoder emits the heads pre-interleaved at the WEIGHT level
+    (models/depth_decoder.py merged ls conv) and the step feeds
+    :func:`fused_plane_sweep_packed` directly."""
     B, N, H, W = logits_t.shape
-    ls = jnp.stack([logits_t, sigma_t], axis=2).reshape(B, 2 * N, H, W)
-    return _pad_w(ls, pad, slack)
+    return jnp.stack([logits_t, sigma_t], axis=2).reshape(B, 2 * N, H, W)
 
 
 @functools.partial(
@@ -864,8 +888,38 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
       (rgb_rec (B, 3, H, W) f32, nll (B, H, W) f32, nll_auto (B, H, W) f32
        [, disp (B, H, W) f32])
     """
+    return _fwd_call(
+        src_t, target_t, _interleave_ls(logits_t, sigma_t), shift, mask,
+        pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
+        with_disp=with_disp, gp_taps=gp_taps,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pad", "rows", "interpret", "n_vertical", "with_disp", "gp_taps",
+    ),
+)
+def sweep_forward_packed(src_t, target_t, ls, shift, mask,
+                         pad: int, rows: int = 8, interpret: bool = False,
+                         n_vertical: int = 0, with_disp: bool = False,
+                         gp_taps: int = 0):
+    """:func:`sweep_forward` on a PRE-INTERLEAVED head buffer ``ls``
+    ``(B, 2N, H, W)`` (logits at 2n, sigma at 2n+1) — the s2d production
+    path where the decoder's merged head conv emits this layout up to
+    one transpose, so separate plane-first logits/sigma never exist."""
+    return _fwd_call(
+        src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
+        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
+        gp_taps=gp_taps,
+    )
+
+
+def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
+              n_vertical, with_disp, gp_taps):
     B, _, H, W = src_t.shape
-    N = logits_t.shape[1]
+    N = ls.shape[1] // 2
     R = rows
     assert H % R == 0, (H, R)
     # pad to a multiple of 128 so static slices stay lane-aligned, +128
@@ -887,7 +941,7 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
     src_p = _pad_w(src_t, pad, slack)
-    ls_p = _pack_ls(logits_t, sigma_t, pad, slack)
+    ls_p = _pad_w(ls, pad, slack)
 
     kernel = functools.partial(
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
@@ -956,9 +1010,61 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     dtype (bf16 in production), halving their HBM write+readback.
     ``with_disp`` consumes the expected-disparity cotangent too.
     """
+    d_src, d_tgt, d_log, d_sig, d_shift = _bwd_call(
+        src_t, target_t, _interleave_ls(logits_t, sigma_t), shift, mask,
+        g_rgb, g_nll, g_nla, g_disp, pad=pad, rows=rows,
+        interpret=interpret, n_vertical=n_vertical,
+        image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
+        packed_grads=False,
+    )
+    return (
+        d_src,
+        d_tgt,
+        d_log.astype(logits_t.dtype),
+        d_sig.astype(sigma_t.dtype),
+        d_shift.astype(shift.dtype),
+        jnp.zeros_like(mask),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pad", "rows", "interpret", "n_vertical", "image_grads", "with_disp",
+        "gp_taps",
+    ),
+)
+def sweep_backward_packed(src_t, target_t, ls, shift, mask,
+                          g_rgb, g_nll, g_nla, g_disp=None,
+                          pad: int = 0, rows: int = 8,
+                          interpret: bool = False, n_vertical: int = 0,
+                          image_grads: bool = True, with_disp: bool = False,
+                          gp_taps: int = 0):
+    """:func:`sweep_backward` on the pre-interleaved head buffer ``ls``
+    ``(B, 2N, H, W)``: the kernel emits ONE interleaved ``d_ls`` of the
+    same shape (d_logits at 2n, d_sigma at 2n+1), so the production
+    adjoint repack to the s2d decoder heads is a single transpose."""
+    d_src, d_tgt, d_ls, d_shift = _bwd_call(
+        src_t, target_t, ls, shift, mask, g_rgb, g_nll, g_nla, g_disp,
+        pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
+        image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
+        packed_grads=True,
+    )
+    return (
+        d_src,
+        d_tgt,
+        d_ls.astype(ls.dtype),
+        d_shift.astype(shift.dtype),
+        jnp.zeros_like(mask),
+    )
+
+
+def _bwd_call(src_t, target_t, ls, shift, mask, g_rgb, g_nll, g_nla, g_disp,
+              *, pad, rows, interpret, n_vertical, image_grads, with_disp,
+              gp_taps, packed_grads):
     assert pad > 0, "pad is required (>= max |shift| + 1)"
     B, _, H, W = src_t.shape
-    N = logits_t.shape[1]
+    N = ls.shape[1] // 2
     R = rows
     pad = ((pad + 127) // 128) * 128
     slack = 256 if gp_taps else 128
@@ -967,12 +1073,12 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
     src_p = _pad_w(src_t, pad, slack)
-    ls_p = _pack_ls(logits_t, sigma_t, pad, slack)
+    ls_p = _pad_w(ls, pad, slack)
 
     kernel = functools.partial(
         _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
         pad=pad, image_grads=image_grads, with_disp=with_disp,
-        gp_taps=gp_taps,
+        gp_taps=gp_taps, packed_grads=packed_grads,
     )
 
     def vspec(shape_prefix, Wd):
@@ -997,6 +1103,12 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     if with_disp:
         ct_args.append(g_disp)
         ct_specs.append(row_in_spec)
+    if packed_grads:
+        head_specs = [vspec((2 * N, R), W)]                # d_ls interleaved
+        head_shapes = [jax.ShapeDtypeStruct((B, 2 * N, H, W), ls.dtype)]
+    else:
+        head_specs = [vspec((N, R), W), vspec((N, R), W)]  # d_log, d_sig
+        head_shapes = [jax.ShapeDtypeStruct((B, N, H, W), ls.dtype)] * 2
     outs = pl.pallas_call(
         kernel,
         grid=(B, H // R),
@@ -1005,21 +1117,17 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
             vspec((3, R), Wp), vspec((3, R), W),
             vspec((2 * N, R), Wp),
         ] + ct_specs,
-        out_specs=img_specs + [
-            vspec((N, R), W),            # d_log
-            vspec((N, R), W),            # d_sig
+        out_specs=img_specs + head_specs + [
             vspec((N, R), 128),          # d_shift (broadcast lanes)
         ],
-        out_shape=img_shapes + [
-            jax.ShapeDtypeStruct((B, N, H, W), logits_t.dtype),
-            jax.ShapeDtypeStruct((B, N, H, W), sigma_t.dtype),
+        out_shape=img_shapes + head_shapes + [
             jax.ShapeDtypeStruct((B, N, H, 128), F32),
         ],
         scratch_shapes=[
             pltpu.VMEM((N, R, W), F32),       # l
             pltpu.VMEM((N, R, W), F32),       # s
-            pltpu.VMEM((N, R, W), logits_t.dtype),   # ld (tap diffs)
-            pltpu.VMEM((N, R, W), sigma_t.dtype),    # sd
+            pltpu.VMEM((N, R, W), ls.dtype),  # ld (tap diffs)
+            pltpu.VMEM((N, R, W), ls.dtype),  # sd
             pltpu.VMEM((N, 3, R, W), src_t.dtype),    # c (see pass2)
             pltpu.VMEM((N, 3, R, W), src_t.dtype),    # cd
             pltpu.VMEM((3, R, WG), F32),      # reverse-window staging
@@ -1033,22 +1141,15 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     )(shift, mask, src_p, target_t, ls_p, *ct_args)
 
     if image_grads:
-        d_src, d_tgt, d_log, d_sig, d_shift_b = outs
-        d_src = d_src.astype(src_t.dtype)
-        d_tgt = d_tgt.astype(target_t.dtype)
+        d_src, d_tgt = outs[0].astype(src_t.dtype), outs[1].astype(
+            target_t.dtype)
+        outs = outs[2:]
     else:
-        d_log, d_sig, d_shift_b = outs
         d_src = jnp.zeros_like(src_t)
         d_tgt = jnp.zeros_like(target_t)
+    *head_grads, d_shift_b = outs
     d_shift = jnp.moveaxis(d_shift_b[..., 0], 1, -1)       # (B, H, N)
-    return (
-        d_src,
-        d_tgt,
-        d_log.astype(logits_t.dtype),
-        d_sig.astype(sigma_t.dtype),
-        d_shift.astype(shift.dtype),
-        jnp.zeros_like(mask),
-    )
+    return (d_src, d_tgt, *head_grads, d_shift)
 
 
 # ---------------------------------------------------------------------------
@@ -1388,3 +1489,50 @@ def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
 
 
 fused_plane_sweep.defvjp(_fps_fwd, _fps_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def fused_plane_sweep_packed(src_t, target_t, ls, shift, mask,
+                             pad: int, interpret: bool = False,
+                             n_vertical: int = 0, image_grads: bool = True,
+                             with_disp: bool = False, rows: int = 8,
+                             gp_taps: int = 0):
+    """:func:`fused_plane_sweep` on a PRE-INTERLEAVED head buffer ``ls``
+    ``(B, 2N, H, W)`` (logits at 2n, sigma at 2n+1).
+
+    The s2d production path: the decoder's merged head conv emits the
+    interleaved channels directly (models/depth_decoder.py), so the two
+    plane-first transposes + the stack/interleave copy — and their
+    adjoints — collapse to ONE transpose each way.  The VJP returns the
+    interleaved ``d_ls`` cotangent of the same shape.
+    """
+    return sweep_forward_packed(
+        src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
+        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
+        gp_taps=gp_taps,
+    )
+
+
+def _fpsp_fwd(src_t, target_t, ls, shift, mask, pad, interpret, n_vertical,
+              image_grads, with_disp, rows, gp_taps):
+    out = sweep_forward_packed(
+        src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
+        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
+        gp_taps=gp_taps,
+    )
+    return out, (src_t, target_t, ls, shift, mask)
+
+
+def _fpsp_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
+              gp_taps, res, cts):
+    src_t, target_t, ls, shift, mask = res
+    cts = [x.astype(F32) for x in cts]
+    g_disp = cts[3] if with_disp else None
+    return sweep_backward_packed(
+        src_t, target_t, ls, shift, mask, cts[0], cts[1], cts[2], g_disp,
+        pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
+        image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
+    )
+
+
+fused_plane_sweep_packed.defvjp(_fpsp_fwd, _fpsp_bwd)

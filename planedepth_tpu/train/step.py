@@ -334,7 +334,9 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     reconstruction, self-distillation L1, edge-aware smoothness.
     """
     from planedepth_tpu.ops.losses import smooth_loss_disp
-    from planedepth_tpu.ops.pallas_sweep import fused_plane_sweep
+    from planedepth_tpu.ops.pallas_sweep import (
+        fused_plane_sweep, fused_plane_sweep_packed,
+    )
     from planedepth_tpu.train.losses import perceptual_loss
 
     color_name = "color_aug" if cfg.loss.match_aug else "color"
@@ -346,23 +348,28 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     in_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
     tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
-    if "logits_s2d" in outputs:
-        # s2d decoder tail: heads arrive phase-packed (B, H/2, W/2, 4N);
-        # ONE combined transpose each builds the plane-first operands (the
-        # kernel masks its samples itself — logits stay raw)
-        def plane_first(x4):
-            Bq, Hh, Wh, C4 = x4.shape
-            n = C4 // 4
-            x = x4.astype(in_dtype).reshape(Bq, Hh, Wh, 2, 2, n)
-            return x.transpose(0, 5, 1, 3, 2, 4).reshape(
-                Bq, n, 2 * Hh, 2 * Wh
-            )
 
-        logits_t = plane_first(outputs["logits_s2d"])
-        sigma_t = plane_first(outputs["sigma_s2d"])
+    def plane_first(x4):
+        """Phase-packed (B, H/2, W/2, 4n) head -> plane-first (B, n, H, W)."""
+        Bq, Hh, Wh, C4 = x4.shape
+        n = C4 // 4
+        x = x4.astype(in_dtype).reshape(Bq, Hh, Wh, 2, 2, n)
+        return x.transpose(0, 5, 1, 3, 2, 4).reshape(Bq, n, 2 * Hh, 2 * Wh)
+
+    if "ls_s2d" in outputs:
+        # s2d decoder tail, merged head: the decoder already interleaved
+        # dispconv/sigmaconv channels at the weight level, so ONE
+        # transpose builds the (B, 2N, H, W) `ls` kernel operand (and the
+        # adjoint repack is one transpose too).  Raw logits — the kernel
+        # masks its samples itself.
+        head_operands = (plane_first(outputs["ls_s2d"]),)
+        packed = True
     else:
-        logits_t = jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1)
-        sigma_t = jnp.moveaxis(outputs["sigma"].astype(in_dtype), -1, 1)
+        head_operands = (
+            jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1),
+            jnp.moveaxis(outputs["sigma"].astype(in_dtype), -1, 1),
+        )
+        packed = False
     shift = outputs["disp_rows"]                    # target 'r': x + disp
     mask_rows = outputs["padding_mask"][:, :, 0, :]
 
@@ -377,17 +384,18 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     # its center samples whenever the decoder skipped it (bf16 fused
     # training — models/depth_decoder.py)
     with_disp = "disp" not in outputs
+    fps = fused_plane_sweep_packed if packed else fused_plane_sweep
     sweep = shard_kernel(
-        lambda s, t, l, sg, sh, m: fused_plane_sweep(
-            s, t, l, sg, sh, m, pad, interpret, n_vertical,
+        lambda *a: fps(
+            *a, pad, interpret, n_vertical,
             False,                   # image_grads: images are never diffed
             with_disp, cfg.sweep_rows, cfg.sweep_gp_taps,
         ),
-        in_rows=(2, 2, 2, 2, 1, 1),
+        in_rows=(2, 2) + (2,) * len(head_operands) + (1, 1),
         out_rows=(2, 1, 1) + ((1,) if with_disp else ()),
         row_block=cfg.sweep_rows,
     )
-    sweep_out = sweep(src_t, tgt_t, logits_t, sigma_t, shift, mask_rows)
+    sweep_out = sweep(src_t, tgt_t, *head_operands, shift, mask_rows)
     rgb_t, nll, nll_auto = sweep_out[:3]
     if with_disp:
         disp = sweep_out[3][..., None]           # (B, H, W, 1)

@@ -248,6 +248,52 @@ def test_with_disp_and_image_grads_combination():
                                    rtol=2e-3, atol=2e-4, err_msg=name)
 
 
+def test_packed_forward_and_vjp_match_unpacked():
+    """fused_plane_sweep_packed on a pre-interleaved (B, 2N, H, W) ls
+    buffer (the merged s2d head layout) == the unpacked op, and its d_ls
+    cotangent interleaves d_log/d_sig exactly."""
+    from planedepth_tpu.ops.pallas_sweep import fused_plane_sweep_packed
+
+    src, tgt, logits, sigma, shift, mask = _inputs()
+    ls = jnp.stack([logits, sigma], axis=2).reshape(B, 2 * N, H, W)
+
+    for with_disp in (False, True):
+        out_p = fused_plane_sweep_packed(
+            src, tgt, ls, shift, mask, PAD, True, 0, False, with_disp,
+        )
+        out_u = fused_plane_sweep(
+            src, tgt, logits, sigma, shift, mask, PAD, True, 0, False,
+            with_disp,
+        )
+        for xp, xu in zip(out_p, out_u):
+            np.testing.assert_array_equal(np.asarray(xp), np.asarray(xu))
+
+        gs = [jnp.asarray(RNG.standard_normal(o.shape).astype(np.float32))
+              for o in out_p]
+
+        def packed_loss(ls_, shift_):
+            o = fused_plane_sweep_packed(
+                src, tgt, ls_, shift_, mask, PAD, True, 0, False, with_disp,
+            )
+            return sum(jnp.sum(x * g) for x, g in zip(o, gs))
+
+        def unpacked_loss(logits_, sigma_, shift_):
+            o = fused_plane_sweep(
+                src, tgt, logits_, sigma_, shift_, mask, PAD, True, 0,
+                False, with_disp,
+            )
+            return sum(jnp.sum(x * g) for x, g in zip(o, gs))
+
+        d_ls, d_shift_p = jax.grad(packed_loss, argnums=(0, 1))(ls, shift)
+        d_log, d_sig, d_shift_u = jax.grad(
+            unpacked_loss, argnums=(0, 1, 2))(logits, sigma, shift)
+        d_ls_ref = jnp.stack([d_log, d_sig], axis=2).reshape(B, 2 * N, H, W)
+        np.testing.assert_array_equal(np.asarray(d_ls),
+                                      np.asarray(d_ls_ref))
+        np.testing.assert_array_equal(np.asarray(d_shift_p),
+                                      np.asarray(d_shift_u))
+
+
 def test_manual_xla_adjoint_matches_autodiff():
     """The scan-based XLA adjoint (_sweep_bwd, the kernel's reference
     derivation) == autodiff of the dense oracle."""
