@@ -348,11 +348,10 @@ def _fwd_kernel(
     gp_taps: int = 0,
 ):
     if with_disp:
-        (rgb_ref, nll_ref, nlla_ref, disp_ref, l_scr, s_scr,
-         l0_scr, s0_scr) = refs
+        rgb_ref, nll_ref, nlla_ref, disp_ref, l_scr, s_scr = refs
     else:
         rgb_ref, nll_ref, nlla_ref, l_scr, s_scr = refs
-        disp_ref = l0_scr = s0_scr = None
+        disp_ref = None
     N, R, W = n_planes, rows, width
     NV = n_vertical
     WQ = W + 128            # aligned window: residual lane shift < 128
@@ -363,6 +362,17 @@ def _fwd_kernel(
     sample_ls_vec, sample_c_vec = sm.ls_vec, sm.c_vec
     sample_ls_g = sm.ls_taps if gp_taps else sm.ls_rows
     sample_c_g = sm.c_taps if gp_taps else sm.c_rows
+
+    def center_ls(n):
+        """CENTER (unshifted) head samples for the fused disp head — read
+        straight from the resident (bf16) ls block both passes instead of
+        f32 scratch round-trips."""
+        m = _row_col(mask_ref, n, R)
+        l0 = ls_ref[2 * n, :, pl.ds(pad, W)].astype(F32) * m
+        s0 = jnp.clip(
+            ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32), 0.01, 1.0
+        )
+        return l0, s0
 
     def fill(n, sampler):
         l_n, s_n = sampler(n)
@@ -379,13 +389,7 @@ def _fwd_kernel(
             if not with_disp:
                 return jnp.maximum(carry, fill(n, sampler))
             mx, mx0 = carry
-            m = _row_col(mask_ref, n, R)
-            l0 = ls_ref[2 * n, :, pl.ds(pad, W)].astype(F32) * m
-            s0 = jnp.clip(
-                ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32), 0.01, 1.0
-            )
-            l0_scr[n] = l0
-            s0_scr[n] = s0
+            l0, _ = center_ls(n)
             return (jnp.maximum(mx, fill(n, sampler)),
                     jnp.maximum(mx0, l0))
         return body
@@ -432,9 +436,9 @@ def _fwd_kernel(
             if not with_disp:
                 return head
             se0, us0, ud0 = carry[5:]
-            e0_n = jnp.exp(l0_scr[n] - mx0)
-            u0_n = e0_n * _row_col(mask_ref, n, R) / s0_scr[n]
-            return head + (se0 + e0_n, us0 + u0_n,
+            l0, s0 = center_ls(n)
+            u0_n = jnp.exp(l0 - mx0) * _row_col(mask_ref, n, R) / s0
+            return head + (se0 + u0_n * s0, us0 + u0_n,
                            ud0 + u0_n * _row_col(shift_ref, n, R))
         return body
 
@@ -475,7 +479,7 @@ def _bwd_kernel(
     gnla_ref,    # (R, W)
     *refs,       # [gdisp when with_disp] [dsrc, dtgt when image_grads]
                  # dlog, dsig, dshift outs + scratches l, s, ld, sd, c,
-                 # cd, g [, l0, s0]
+                 # cd, g
     n_planes: int,
     n_vertical: int,
     rows: int,
@@ -512,11 +516,6 @@ def _bwd_kernel(
     """
     refs = list(refs)
     gdisp_ref = refs.pop(0) if with_disp else None
-    if with_disp:
-        l0_scr, s0_scr = refs[-2:]
-        refs = refs[:-2]
-    else:
-        l0_scr = s0_scr = None
     if image_grads:
         dsrc_ref, dtgt_ref = refs[:2]
         refs = refs[2:]
@@ -550,6 +549,16 @@ def _bwd_kernel(
         q = pl.multiple_of((start // 128) * 128, 128)
         return q, (WQ - (start - q)) % WQ
 
+    def center_ls(n):
+        """CENTER (unshifted) head samples for the fused disp head,
+        straight from the resident ls block — the input is bf16 in
+        production and pass3 reads the raw sigma anyway, so re-reading
+        beats f32 (N, R, W) scratch round-trips (and frees 5 MB VMEM)."""
+        m = _row_col(mask_ref, n, R)
+        l0 = ls_ref[2 * n, :, pl.ds(pad, W)].astype(F32) * m
+        s0_raw = ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32)
+        return l0, s0_raw
+
     # reverse interpolation (1-f)*g[rev] + f*g[rev-1] from ONE dynamic roll
     # anchored at rev-1: tap(rev-1) = rolled[:W], tap(rev) = rolled[1:W+1]
     def g_back(r, rev, f):
@@ -577,13 +586,7 @@ def _bwd_kernel(
             if not with_disp:
                 return jnp.maximum(carry, l_n)
             mx, mx0 = carry
-            m = _row_col(mask_ref, n, R)
-            l0 = ls_ref[2 * n, :, pl.ds(pad, W)].astype(F32) * m
-            s0 = jnp.clip(
-                ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32), 0.01, 1.0
-            )
-            l0_scr[n] = l0
-            s0_scr[n] = s0
+            l0, _ = center_ls(n)
             return jnp.maximum(mx, l_n), jnp.maximum(mx0, l0)
         return body
 
@@ -638,9 +641,10 @@ def _bwd_kernel(
                              dEa + e_n * lapa_n * (-1.0 / s_n))
             if with_disp:
                 se0, us0, ud0 = carry[-3:]
-                e0_n = jnp.exp(l0_scr[n] - mx0)
-                l0_scr[n] = e0_n         # cache e0 for emission
-                u0_n = e0_n * _row_col(mask_ref, n, R) / s0_scr[n]
+                l0, s0_raw = center_ls(n)
+                e0_n = jnp.exp(l0 - mx0)
+                u0_n = (e0_n * _row_col(mask_ref, n, R)
+                        / jnp.clip(s0_raw, 0.01, 1.0))
                 out = out + (se0 + e0_n, us0 + u0_n,
                              ud0 + u0_n * _row_col(shift_ref, n, R))
             return out
@@ -721,15 +725,14 @@ def _bwd_kernel(
         dl0_n = ds0_n = None
         if with_disp:
             m = _row_col(mask_ref, n, R)
-            p0_n = l0_scr[n] * inv_se0                      # e0 cached
-            s0_n = s0_scr[n]
+            l0, s0_raw = center_ls(n)
+            p0_n = jnp.exp(l0 - mx0) * inv_se0
+            s0_n = jnp.clip(s0_raw, 0.01, 1.0)
             du0 = g_over_u0 * (_row_col(shift_ref, n, R) - disp0)
             dp0 = du0 * m / s0_n
             dl0_n = p0_n * dp0          # softmax coupling S0 == 0
-            # clip pass-through gate on the RAW center sigma (the scratch
-            # holds the clipped value): outside (0.01, 1) the forward is
-            # flat, so the oracle's d_sigma there is 0
-            s0_raw = ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32)
+            # clip pass-through gate on the RAW center sigma: outside
+            # (0.01, 1) the forward is flat, so d_sigma there is 0
             gate0 = (s0_raw > 0.01) & (s0_raw < 1.0)
             ds0_n = -du0 * p0_n * m / (s0_n * s0_n) * gate0
             # shift doubles as the per-plane disparity d_n: its cotangent
@@ -978,8 +981,7 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
         scratch_shapes=[
             pltpu.VMEM((N, R, W), F32),
             pltpu.VMEM((N, R, W), F32),
-        ] + ([pltpu.VMEM((N, R, W), F32),
-              pltpu.VMEM((N, R, W), F32)] if with_disp else []),
+        ],
         compiler_params=pltpu.CompilerParams(
             # full-plane blocks + double buffering exceed the default 16M
             # scoped budget; v5e has 128M physical VMEM per core
@@ -1131,9 +1133,7 @@ def _bwd_call(src_t, target_t, ls, shift, mask, g_rgb, g_nll, g_nla, g_disp,
             pltpu.VMEM((N, 3, R, W), src_t.dtype),    # c (see pass2)
             pltpu.VMEM((N, 3, R, W), src_t.dtype),    # cd
             pltpu.VMEM((3, R, WG), F32),      # reverse-window staging
-        ] + ([pltpu.VMEM((N, R, W), F32),     # e0 (center)
-              pltpu.VMEM((N, R, W), F32)]     # s0
-             if with_disp else []),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
