@@ -975,7 +975,10 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
             row_spec, row_spec,
         ] + ([row_spec] if with_disp else []),
         out_shape=[
-            jax.ShapeDtypeStruct((B, 3, H, W), F32),
+            # reconstruction in the INPUT dtype (bf16 in production): its
+            # only consumer is the perceptual net, which runs bf16 anyway;
+            # halves the largest output write and its cotangent traffic
+            jax.ShapeDtypeStruct((B, 3, H, W), src_t.dtype),
             row_shape, row_shape,
         ] + ([row_shape] if with_disp else []),
         scratch_shapes=[
