@@ -215,6 +215,12 @@ class TrainConfig:
     # (tests/test_pallas_sweep.py::test_gp_spread); 8 leaves margin.
     # 0 falls back to the per-row (single-sublane) sampling path.
     sweep_gp_taps: int = 8
+    # phase-split (quad) sweep kernel: when the s2d decoder tail is active
+    # the kernel consumes the space-to-depth head layout DIRECTLY
+    # (ops/pallas_sweep_quad.py) — the ~1 GB plane-first repack copies
+    # (3 each way at HR batch 8) leave the step entirely.  Requires
+    # sweep_gp_taps > 0; falls back to the v1 kernels otherwise.
+    sweep_quad: bool = True
 
     def __post_init__(self):
         if self.loss.use_mom and not self.flip_right:

@@ -346,8 +346,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     pad = sweep_pad(cfg)
 
     in_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
-    src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
-    tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
+    packed = "ls_s2d" in outputs
 
     def plane_first(x4):
         """Phase-packed (B, H/2, W/2, 4n) head -> plane-first (B, n, H, W)."""
@@ -356,20 +355,24 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         x = x4.astype(in_dtype).reshape(Bq, Hh, Wh, 2, 2, n)
         return x.transpose(0, 5, 1, 3, 2, 4).reshape(Bq, n, 2 * Hh, 2 * Wh)
 
-    if "ls_s2d" in outputs:
-        # s2d decoder tail, merged head: the decoder already interleaved
-        # dispconv/sigmaconv channels at the weight level, so ONE
-        # transpose builds the (B, 2N, H, W) `ls` kernel operand (and the
-        # adjoint repack is one transpose too).  Raw logits — the kernel
-        # masks its samples itself.
-        head_operands = (plane_first(outputs["ls_s2d"]),)
-        packed = True
-    else:
-        head_operands = (
-            jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1),
-            jnp.moveaxis(outputs["sigma"].astype(in_dtype), -1, 1),
-        )
-        packed = False
+    def v1_operands():
+        """Channel/plane-first full-res operands for the v1 kernels.
+
+        With the s2d merged head (decoder interleaved dispconv/sigmaconv
+        channels at the weight level) ONE transpose builds the
+        (B, 2N, H, W) `ls` operand.  The quad kernel path skips all of
+        this — it consumes the s2d layout directly."""
+        src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
+        tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
+        if packed:
+            heads = (plane_first(outputs["ls_s2d"]),)
+        else:
+            heads = (
+                jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1),
+                jnp.moveaxis(outputs["sigma"].astype(in_dtype), -1, 1),
+            )
+        return src_t, tgt_t, heads
+
     shift = outputs["disp_rows"]                    # target 'r': x + disp
     mask_rows = outputs["padding_mask"][:, :, 0, :]
 
@@ -384,31 +387,71 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     # its center samples whenever the decoder skipped it (bf16 fused
     # training — models/depth_decoder.py)
     with_disp = "disp" not in outputs
-    fps = fused_plane_sweep_packed if packed else fused_plane_sweep
-    sweep = shard_kernel(
-        lambda *a: fps(
-            *a, pad, interpret, n_vertical,
-            False,                   # image_grads: images are never diffed
-            with_disp, cfg.sweep_rows, cfg.sweep_gp_taps,
-        ),
-        in_rows=(2, 2) + (2,) * len(head_operands) + (1, 1),
-        out_rows=(2, 1, 1) + ((1,) if with_disp else ()),
-        row_block=cfg.sweep_rows,
+    # quad path: the phase-split kernel consumes the s2d head layout
+    # directly (ops/pallas_sweep_quad.py) — no full-res plane-first
+    # repack copies anywhere in the step
+    use_quad = (
+        packed
+        and cfg.sweep_quad
+        and cfg.sweep_gp_taps > 0
+        and (source.shape[1] // 2) % cfg.sweep_rows == 0
     )
-    sweep_out = sweep(src_t, tgt_t, *head_operands, shift, mask_rows)
-    rgb_t, nll, nll_auto = sweep_out[:3]
-    if with_disp:
-        disp = sweep_out[3][..., None]           # (B, H, W, 1)
-    else:
-        disp = outputs["disp"]
-    rgb_rec = jnp.moveaxis(rgb_t, 1, -1)
+    if use_quad:
+        from planedepth_tpu.ops import pallas_sweep_quad as psq
 
-    ph = nll[..., None]
+        lsq = psq.quad_ls_from_s2d(outputs["ls_s2d"], in_dtype)
+        srcq = psq.s2d_image(source, in_dtype)
+        tgtq = psq.s2d_image(target, in_dtype)
+        sweep = shard_kernel(
+            lambda *a: psq.fused_plane_sweep_quad(
+                *a, pad, interpret, n_vertical, with_disp,
+                2 * cfg.sweep_rows, cfg.sweep_gp_taps,
+            ),
+            in_rows=(2, 2, 2, 2, 2),
+            out_rows=(2, 2, 2) + ((2,) if with_disp else ()),
+            row_block=cfg.sweep_rows,
+        )
+        sweep_out = sweep(srcq, tgtq, lsq, psq.split_rows(shift),
+                          psq.split_rows(mask_rows))
+        nll, nll_auto = sweep_out[1], sweep_out[2]     # (B, 4, H/2, W/2)
+        rgb_rec = psq.d2s_quad(sweep_out[0])           # (B, H, W, 3)
+        if with_disp:
+            disp = psq.d2s_quad(sweep_out[3])          # (B, H, W, 1)
+        else:
+            disp = outputs["disp"]
+    else:
+        src_t, tgt_t, head_operands = v1_operands()
+        fps = fused_plane_sweep_packed if packed else fused_plane_sweep
+        sweep = shard_kernel(
+            lambda *a: fps(
+                *a, pad, interpret, n_vertical,
+                False,               # image_grads: images are never diffed
+                with_disp, cfg.sweep_rows, cfg.sweep_gp_taps,
+            ),
+            in_rows=(2, 2) + (2,) * len(head_operands) + (1, 1),
+            out_rows=(2, 1, 1) + ((1,) if with_disp else ()),
+            row_block=cfg.sweep_rows,
+        )
+        sweep_out = sweep(src_t, tgt_t, *head_operands, shift, mask_rows)
+        rgb_t, nll, nll_auto = sweep_out[:3]
+        nll, nll_auto = nll[..., None], nll_auto[..., None]
+        if with_disp:
+            disp = sweep_out[3][..., None]           # (B, H, W, 1)
+        else:
+            disp = outputs["disp"]
+        rgb_rec = jnp.moveaxis(rgb_t, 1, -1)
+
+    ph = nll
     if cfg.loss.automask:
-        ph = jnp.minimum(ph, nll_auto[..., None])
+        ph = jnp.minimum(ph, nll_auto)
     mask_novel = outputs.get("mask_novel")
     if mask_novel is not None:
-        ph = ph * mask_novel
+        if use_quad:
+            from planedepth_tpu.ops.pallas_sweep_quad import s2d_image
+
+            ph = ph * s2d_image(mask_novel, ph.dtype)
+        else:
+            ph = ph * mask_novel
     ph_loss = jnp.mean(ph)
 
     losses = {"loss/ph_loss": ph_loss, "loss/pc_loss": 0.0}

@@ -30,7 +30,7 @@ pytestmark = pytest.mark.heavy
 H, W = 64, 96
 
 
-def _cfg():
+def _cfg(s2d="auto"):
     return TrainConfig(
         batch_size=2 * 8,               # flip_right => per-step 8, eff 16
         flip_right=True,
@@ -40,6 +40,7 @@ def _cfg():
             planes=PlaneConfig(disp_levels=9, disp_min=2, disp_max=40,
                                xz_levels=4, yz_levels=0),
             fused_head="interpret",     # Pallas disp head off-TPU too
+            s2d_tail=s2d,               # "on" => QUAD phase-split sweep
         ),
         loss=LossConfig(alpha_pc=0.0, automask=True),
         data=DataConfig(height=H, width=W),
@@ -49,9 +50,13 @@ def _cfg():
     )
 
 
-def test_fused_step_sharded_matches_single_device():
+@pytest.mark.parametrize("s2d", ["auto", "on"])
+def test_fused_step_sharded_matches_single_device(s2d):
+    """s2d="auto" (off on CPU) takes the v1 packed kernel; "on" takes the
+    QUAD phase-split kernel — both must match the single-device step on
+    the 8-device mesh."""
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    cfg = _cfg()
+    cfg = _cfg(s2d)
     assert fused_sweep_ok(cfg), "config must take the fused production path"
     bundle = ModelBundle(cfg)
     params, batch_stats, _ = bundle.init(jax.random.PRNGKey(0), H, W)

@@ -17,7 +17,7 @@ pytestmark = pytest.mark.heavy
 H, W = 64, 96
 
 
-def _cfg(fused, s2d="auto"):
+def _cfg(fused, s2d="auto", quad=True):
     return TrainConfig(
         batch_size=2,
         flip_right=True,
@@ -33,11 +33,12 @@ def _cfg(fused, s2d="auto"):
         optim=OptimConfig(learning_rate=1e-4),
         bf16=False,
         fused_sweep=fused,
+        sweep_quad=quad,
     )
 
 
-def _one_step(fused, s2d="auto"):
-    cfg = _cfg(fused, s2d)
+def _one_step(fused, s2d="auto", quad=True):
+    cfg = _cfg(fused, s2d, quad)
     bundle = ModelBundle(cfg)
     params, stats, _ = bundle.init(jax.random.PRNGKey(0), H, W)
     tx = make_optimizer(cfg, 10)
@@ -72,10 +73,21 @@ def test_fused_step_matches_oracle_step():
 
 def test_fused_s2d_step_matches_oracle_step():
     """The full production stack — s2d decoder tail + raw phase-packed
-    heads + fused sweep with the in-kernel disparity head — must equal
-    the plain oracle step."""
+    heads + QUAD phase-split sweep with the in-kernel disparity head —
+    must equal the plain oracle step."""
     _assert_steps_match(
         _one_step(True, s2d="on"), _one_step(False), param_tol=1e-4
+    )
+
+
+def test_quad_step_matches_v1_packed_step():
+    """sweep_quad=True vs the v1 packed kernel on the same s2d stack:
+    identical losses and parameter updates (same math, phase-split
+    layout)."""
+    _assert_steps_match(
+        _one_step(True, s2d="on", quad=True),
+        _one_step(True, s2d="on", quad=False),
+        param_tol=1e-4,
     )
 
 
