@@ -664,7 +664,8 @@ def _bwd_kernel_q(
 
     def pass3_vec(n, _):
         dl_n, ds_g, dc_n, dshift2, dl0_n, ds0_n = plane_grads(n)
-        dshift_ref[n] = jnp.broadcast_to(
+        # (2N, Rq, 128) out: py pairs interleaved at 2n + py
+        dshift_ref[pl.ds(2 * n, 2)] = jnp.broadcast_to(
             dshift2[:, :, None], (2, Rq, 128))
         ki, f, a = sm.k_f(n)
         hA = ki // 2
@@ -701,7 +702,7 @@ def _bwd_kernel_q(
         buffer, source phase) — mirror of the forward _gp_sample with the
         v1 reverse-interpolation weights."""
         dl_n, ds_g, dc_n, dshift2, dl0_n, ds0_n = plane_grads(n)
-        dshift_ref[n] = jnp.broadcast_to(
+        dshift_ref[pl.ds(2 * n, 2)] = jnp.broadcast_to(
             dshift2[:, :, None], (2, Rq, 128))
         JT = sm.JT
         for py in (0, 1):
@@ -889,13 +890,11 @@ def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2,
         ] + ct_specs,
         out_specs=[
             vspec(8 * N, W2),
-            pl.BlockSpec((None, N, 2, Rq, 128),
-                         lambda b, h: (b, 0, 0, h, 0),
-                         memory_space=pltpu.VMEM),
+            vspec(2 * N, 128),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, 8 * N, Hq, W2), lsq.dtype),
-            jax.ShapeDtypeStruct((B, N, 2, Hq, 128), F32),
+            jax.ShapeDtypeStruct((B, 2 * N, Hq, 128), F32),
         ],
         scratch_shapes=[
             pltpu.VMEM((N, 4, Rq, W2), F32),          # l
@@ -913,8 +912,10 @@ def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2,
     )(shift2, mask2, src_p, tgtq, ls_p, *ct_args)
 
     d_ls, d_shift_b = outs
-    # (B, N, 2, Hq, 128)[..., 0] -> (B, 2, Hq, N)
-    d_shift2 = jnp.transpose(d_shift_b[..., 0], (0, 2, 3, 1))
+    # (B, 2N, Hq, 128)[..., 0] -> (B, N, 2, Hq) -> (B, 2, Hq, N)
+    B_, _, Hq_, _ = d_shift_b.shape
+    d_shift2 = jnp.transpose(
+        d_shift_b[..., 0].reshape(B_, N, 2, Hq_), (0, 2, 3, 1))
     return d_ls.astype(lsq.dtype), d_shift2.astype(shift2.dtype)
 
 
