@@ -623,7 +623,10 @@ def _bwd_kernel_q(
                 axis=(1, 3),
             )
         )                                                   # (4, Rq)
-        dshift2 = per_ph.reshape(2, 2, Rq).sum(1)           # (2, Rq)
+        # sum the px phases per py with static slices (a (2,2,Rq) reshape
+        # + middle-axis reduce trips a Mosaic relayout)
+        dshift2 = jnp.stack(
+            [per_ph[0] + per_ph[1], per_ph[2] + per_ph[3]])  # (2, Rq)
         dl0_n = ds0_n = None
         if with_disp:
             m4 = sm.mask4(n)
@@ -635,9 +638,9 @@ def _bwd_kernel_q(
             dl0_n = p0_n * dp0          # softmax coupling S0 == 0
             gate0 = (s0_raw > 0.01) & (s0_raw < 1.0)
             ds0_n = -du0 * p0_n * m4 / (s0_n * s0_n) * gate0
-            dshift2 = dshift2 + (
-                g_over_u0 * p0_n * m4 / s0_n
-            ).sum(2).reshape(2, 2, Rq).sum(1)
+            extra = (g_over_u0 * p0_n * m4 / s0_n).sum(2)   # (4, Rq)
+            dshift2 = dshift2 + jnp.stack(
+                [extra[0] + extra[1], extra[2] + extra[3]])
         return dl_n, ds_gate, dc_n, dshift2, dl0_n, ds0_n
 
     def stage_g(py, dl_n, ds_g, m_col):
