@@ -345,13 +345,26 @@ def _mk_q(shift_ref, mask_ref, src_ref, ls_ref, Rq, W2, pad2, n2, gp_taps):
     )
 
 
+def _online_e(l_n, mx):
+    """Online-softmax update sharing ONE exp: returns (corr, e_n, mx_new)
+    with corr = exp(mx - mx_new) (rescales running accumulators) and
+    e_n = exp(l_n - mx_new).  exp(-|l_n - mx|) IS one of the two
+    elementwise (the other is exp(0) = 1), so the rescale costs no extra
+    transcendental over the two-pass max-then-exp design."""
+    t = jnp.exp(-jnp.abs(l_n - mx))
+    gt = l_n > mx
+    one = jnp.ones_like(t)
+    return (jnp.where(gt, t, one), jnp.where(gt, one, t),
+            jnp.maximum(mx, l_n))
+
+
 def _fwd_kernel_q(
     shift_ref,   # (2, Rq, N) SMEM  py-split signed offsets
     mask_ref,    # (2, Rq, N) SMEM
     src_ref,     # (12, Rq, W2p) VMEM padded s2d source
     tgt_ref,     # (12, Rq, W2)  VMEM s2d target
     ls_ref,      # (4*2N, Rq, W2p) VMEM padded quad interleaved heads
-    *refs,       # rgb, nll, nlla [, disp] outs + scratches l, s
+    *refs,       # rgb, nll, nlla [, disp] outs (NO scratches: single pass)
     n_planes: int,
     n_vertical: int,
     rows_q: int,
@@ -361,88 +374,61 @@ def _fwd_kernel_q(
     gp_taps: int = 0,
 ):
     if with_disp:
-        rgb_ref, nll_ref, nlla_ref, disp_ref, l_scr, s_scr = refs
+        rgb_ref, nll_ref, nlla_ref, disp_ref = refs
     else:
-        rgb_ref, nll_ref, nlla_ref, l_scr, s_scr = refs
+        rgb_ref, nll_ref, nlla_ref = refs
         disp_ref = None
     N, NV, Rq, W2 = n_planes, n_vertical, rows_q, width_q
     n2 = 2 * N
 
     sm = _mk_q(shift_ref, mask_ref, src_ref, ls_ref, Rq, W2, pad_q, n2,
                gp_taps)
-    sample_ls_g = sm.ls_taps if gp_taps else None
-    sample_c_g = sm.c_taps if gp_taps else None
     if N > NV:
-        assert gp_taps > 0, "quad kernel requires gp_taps for ground planes"
+        assert gp_taps > 0, "quad kernel requires ground-plane taps"
 
-    def fill(n, sampler):
-        l_n, s_n = sampler(n)
-        l_scr[n] = l_n
-        s_scr[n] = s_n
-        return l_n
-
-    # ---- pass 1: samples + running max (see v1 _fwd_kernel) ---------------
-    def pass1(sampler):
-        def body(n, carry):
-            if not with_disp:
-                return jnp.maximum(carry, fill(n, sampler))
-            mx, mx0 = carry
-            l0, _ = sm.center_ls(n)
-            return (jnp.maximum(mx, fill(n, sampler)),
-                    jnp.maximum(mx0, l0))
-        return body
-
-    shp = (4, Rq, W2)
-    if with_disp:
-        init = (jnp.full(shp, -1e30, F32), jnp.full(shp, -1e30, F32))
-    else:
-        init = jnp.full(shp, -1e30, F32)
-    carry = jax.lax.fori_loop(0, NV, pass1(sm.ls_vec), init)
-    if N > NV:
-        carry = jax.lax.fori_loop(NV, N, pass1(sample_ls_g), carry)
-    mx0 = None
-    if with_disp:
-        mx, mx0 = carry
-    else:
-        mx = carry
-
-    # ---- pass 2: colors + e-linear accumulators (v1 exp-fold design) ------
     tgt = tgt_ref[...].astype(F32).reshape(4, 3, Rq, W2)
     src0 = src_ref[:, :, pl.ds(pad_q, W2)].astype(F32).reshape(4, 3, Rq, W2)
     e_auto = jnp.abs(src0 - tgt).sum(1) / 3.0             # (4, Rq, W2)
 
-    def pass2(sampler):
+    # ---- SINGLE online-softmax pass (flash-attention style): running max
+    # with accumulator rescale replaces v1's max pass + the l/s VMEM
+    # scratch round-trip entirely.  Every accumulator is e-linear, so one
+    # corr multiply per plane keeps them exact.
+    def pass_all(sample_ls, sample_c):
         def body(n, carry):
-            se, us, rgb_acc, M, Ma = carry[:5]
-            e_n = jnp.exp(l_scr[n] - mx)
-            l_scr[n] = e_n               # overwrite: raw l is dead now
-            s_n = s_scr[n]
+            mx, se, us, rgb_acc, M, Ma = carry[:6]
+            l_n, s_n = sample_ls(n)
+            c_n = sample_c(n)                             # (4, 3, Rq, W2)
+            corr, e_n, mx = _online_e(l_n, mx)
             u_n = e_n / s_n
-            c_n = sampler(n)                              # (4, 3, Rq, W2)
-            rgb_acc = rgb_acc + u_n[:, None] * c_n
+            rgb_acc = rgb_acc * corr[:, None] + u_n[:, None] * c_n
             err_n = jnp.abs(c_n - tgt).sum(1) / 3.0
-            M = M + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
-            Ma = Ma + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
-            head = (se + e_n, us + u_n, rgb_acc, M, Ma)
+            M = M * corr + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
+            Ma = Ma * corr + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
+            head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M, Ma)
             if not with_disp:
                 return head
-            se0, us0, ud0 = carry[5:]
+            mx0, se0, us0, ud0 = carry[6:]
             l0, s0_raw = sm.center_ls(n)
             s0 = jnp.clip(s0_raw, 0.01, 1.0)
-            u0_n = jnp.exp(l0 - mx0) * sm.mask4(n) / s0
-            return head + (se0 + u0_n * s0, us0 + u0_n,
-                           ud0 + u0_n * sm.row4(shift_ref, n))
+            corr0, e0_n, mx0 = _online_e(l0, mx0)
+            u0_n = e0_n * sm.mask4(n) / s0
+            return head + (mx0, se0 * corr0 + u0_n * s0,
+                           us0 * corr0 + u0_n,
+                           ud0 * corr0 + u0_n * sm.row4(shift_ref, n))
         return body
 
-    n_carry = 8 if with_disp else 5
-    carry = (jnp.zeros(shp, F32), jnp.zeros(shp, F32),
-             jnp.zeros((4, 3, Rq, W2), F32)) + tuple(
-        jnp.zeros(shp, F32) for _ in range(n_carry - 3)
-    )
-    carry = jax.lax.fori_loop(0, NV, pass2(sm.c_vec), carry)
+    shp = (4, Rq, W2)
+    zero = jnp.zeros(shp, F32)
+    neg = jnp.full(shp, -1e30, F32)
+    carry = (neg, zero, zero, jnp.zeros((4, 3, Rq, W2), F32), zero, zero)
+    if with_disp:
+        carry = carry + (neg, zero, zero, zero)
+    carry = jax.lax.fori_loop(0, NV, pass_all(sm.ls_vec, sm.c_vec), carry)
     if N > NV:
-        carry = jax.lax.fori_loop(NV, N, pass2(sample_c_g), carry)
-    se, us, rgb_acc, M, Ma = carry[:5]
+        carry = jax.lax.fori_loop(
+            NV, N, pass_all(sm.ls_taps, sm.c_taps), carry)
+    se, us, rgb_acc, M, Ma = carry[1:6]
     inv_se = 1.0 / se
     U = us * inv_se
     inv_us = jnp.where(U > 1e-7, 1.0 / jnp.maximum(us, 1e-30), 0.0)
@@ -454,7 +440,7 @@ def _fwd_kernel_q(
     nll_ref[...] = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
     nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
     if with_disp:
-        se0, us0, ud0 = carry[5:]
+        se0, us0, ud0 = carry[7:]
         U0 = us0 / se0
         inv_us0 = jnp.where(U0 > 1e-7, 1.0 / jnp.maximum(us0, 1e-30), 0.0)
         disp_ref[...] = (ud0 * inv_us0).astype(disp_ref.dtype)
@@ -469,8 +455,8 @@ def _bwd_kernel_q(
     grgb_ref,    # (12, Rq, W2)
     gnll_ref,    # (4, Rq, W2)
     gnla_ref,    # (4, Rq, W2)
-    *refs,       # [gdisp] dls, dshift outs + scratches l, s, ld, sd, c,
-                 # cd, g
+    *refs,       # [gdisp] dls, dshift outs + scratches l, s, ld, sd, err,
+                 # gc, gcd, scd, g
     n_planes: int,
     n_vertical: int,
     rows_q: int,
@@ -485,11 +471,20 @@ def _bwd_kernel_q(
     output-phase cotangent back to its SOURCE phase: per (plane, py) two
     half-width g rolls (one per output px buffer) serve both source
     phases via a parity select (vertical planes) or the static reverse
-    tap grid (ground planes)."""
+    tap grid (ground planes).
+
+    Structure: ONE online-softmax recompute pass (max/exp rescale as in
+    the forward), then the emission pass.  Colors are never cached:
+    every pass-3 use of the 12-channel c/cd samples reduces to four
+    per-plane channel contractions computable while they are live —
+    err = |c-tgt|/3, gc = (G.c), gcd = (G.cd), scd = (sign(c-tgt).cd) —
+    so the emission pass is color-free and the scratch set shrinks from
+    two (N, 12, ...) buffers to four (N, 4, ...) ones."""
     refs = list(refs)
     gdisp_ref = refs.pop(0) if with_disp else None
     (dls_ref, dshift_ref,
-     l_scr, s_scr, ld_scr, sd_scr, c_scr, cd_scr, g_scr) = refs
+     l_scr, s_scr, ld_scr, sd_scr, err_scr, gc_scr, gcd_scr, scd_scr,
+     g_scr) = refs
     N, NV, Rq, W2 = n_planes, n_vertical, rows_q, width_q
     n2 = 2 * N
     pad2 = pad_q
@@ -497,76 +492,61 @@ def _bwd_kernel_q(
 
     sm = _mk_q(shift_ref, mask_ref, src_ref, ls_ref, Rq, W2, pad2, n2,
                gp_taps)
-    sample_lsd_g = sm.lsd_taps if gp_taps else None
-    sample_cd_g = sm.cd_taps if gp_taps else None
     if N > NV:
         assert gp_taps > 0, "quad kernel requires gp_taps for ground planes"
     shp = (4, Rq, W2)
-
-    # ---- pass 1: forward recomputation into scratch ------------------------
-    def pass1(sampler):
-        def body(n, carry):
-            l_n, s_n, ld_n, sd_n = sampler(n)
-            l_scr[n] = l_n
-            s_scr[n] = s_n
-            ld_scr[n] = ld_n.astype(ld_scr.dtype)
-            sd_scr[n] = sd_n.astype(sd_scr.dtype)
-            if not with_disp:
-                return jnp.maximum(carry, l_n)
-            mx, mx0 = carry
-            l0, _ = sm.center_ls(n)
-            return jnp.maximum(mx, l_n), jnp.maximum(mx0, l0)
-        return body
-
-    if with_disp:
-        init = (jnp.full(shp, -1e30, F32), jnp.full(shp, -1e30, F32))
-    else:
-        init = jnp.full(shp, -1e30, F32)
-    carry1 = jax.lax.fori_loop(0, NV, pass1(sm.lsd_vec), init)
-    if N > NV:
-        carry1 = jax.lax.fori_loop(NV, N, pass1(sample_lsd_g), carry1)
-    mx0 = None
-    if with_disp:
-        mx, mx0 = carry1
-    else:
-        mx = carry1
 
     tgt = tgt_ref[...].astype(F32).reshape(4, 3, Rq, W2)
     G = grgb_ref[...].astype(F32).reshape(4, 3, Rq, W2)
     gN = gnll_ref[...].astype(F32)
 
-    # ---- pass 2: couplings (e-linear accumulators; see v1) -----------------
-    def pass2(sampler):
+    # ---- pass 1 (merged recompute + couplings, online softmax) ------------
+    def pass1(sample_lsd, sample_cd):
         def body(n, carry):
-            se, U, A, M = carry[:4]
-            e_n = jnp.exp(l_scr[n] - mx)
-            l_scr[n] = e_n
-            s_n = s_scr[n]
+            mx, se, U, A, M = carry[:5]
+            l_n, s_n, ld_n, sd_n = sample_lsd(n)
+            c_n, cd_n = sample_cd(n)
+            l_scr[n] = l_n                       # RAW logits (pass 3 exps)
+            s_scr[n] = s_n
+            ld_scr[n] = ld_n.astype(ld_scr.dtype)
+            sd_scr[n] = sd_n.astype(sd_scr.dtype)
+            diff = c_n - tgt
+            err_n = jnp.abs(diff).sum(1) / 3.0
+            gc_n = (G * c_n).sum(1)
+            err_scr[n] = err_n
+            gc_scr[n] = gc_n
+            gcd_scr[n] = ((G * cd_n).sum(1)).astype(gcd_scr.dtype)
+            scd_scr[n] = ((jnp.sign(diff) * cd_n).sum(1)).astype(
+                scd_scr.dtype)
+            corr, e_n, mx = _online_e(l_n, mx)
             u_n = e_n / s_n
-            c_n, cd_n = sampler(n)
-            c_scr[n] = c_n.reshape(12, Rq, W2).astype(c_scr.dtype)
-            cd_scr[n] = cd_n.reshape(12, Rq, W2).astype(cd_scr.dtype)
-            err_n = jnp.abs(c_n - tgt).sum(1) / 3.0
             lap_n = 0.5 * jnp.exp(-err_n / s_n) / s_n
-            out = (se + e_n, U + u_n, A + (G * c_n).sum(1) * u_n,
-                   M + e_n * lap_n)
+            out = (mx, se * corr + e_n, U * corr + u_n,
+                   A * corr + gc_n * u_n, M * corr + e_n * lap_n)
             if with_disp:
-                se0, us0, ud0 = carry[-3:]
+                mx0, se0, us0, ud0 = carry[-4:]
                 l0, s0_raw = sm.center_ls(n)
-                e0_n = jnp.exp(l0 - mx0)
+                corr0, e0_n, mx0 = _online_e(l0, mx0)
                 u0_n = (e0_n * sm.mask4(n)
                         / jnp.clip(s0_raw, 0.01, 1.0))
-                out = out + (se0 + e0_n, us0 + u0_n,
-                             ud0 + u0_n * sm.row4(shift_ref, n))
+                out = out + (mx0, se0 * corr0 + e0_n, us0 * corr0 + u0_n,
+                             ud0 * corr0 + u0_n * sm.row4(shift_ref, n))
             return out
         return body
 
-    n_carry = 4 + (3 if with_disp else 0)
-    carry = tuple(jnp.zeros(shp, F32) for _ in range(n_carry))
-    carry = jax.lax.fori_loop(0, NV, pass2(sm.cd_vec), carry)
+    zero = jnp.zeros(shp, F32)
+    neg = jnp.full(shp, -1e30, F32)
+    carry = (neg, zero, zero, zero, zero)
+    if with_disp:
+        carry = carry + (neg, zero, zero, zero)
+    carry = jax.lax.fori_loop(0, NV, pass1(sm.lsd_vec, sm.cd_vec), carry)
     if N > NV:
-        carry = jax.lax.fori_loop(NV, N, pass2(sample_cd_g), carry)
-    se, U, A, M = carry[:4]
+        carry = jax.lax.fori_loop(
+            NV, N, pass1(sm.lsd_taps, sm.cd_taps), carry)
+    mx, se, U, A, M = carry[:5]
+    mx0 = None
+    if with_disp:
+        mx0 = carry[-4]
     inv_se = 1.0 / se
     U = U * inv_se
     A = A * inv_se
@@ -592,15 +572,16 @@ def _bwd_kernel_q(
     g_scr[...] = jnp.zeros((4, Rq, WG), F32)
 
     def plane_grads(n):
-        """(dl, ds_gated, dc, dshift2 (2, Rq), dl0, ds0) on (4, Rq, W2)."""
-        c_n = c_scr[n].astype(F32).reshape(4, 3, Rq, W2)
-        pi_n = l_scr[n] * inv_se
+        """(dl, ds_gated, dshift2 (2, Rq), dl0, ds0) on (4, Rq, W2).
+        Color-free: every c/cd use enters through the pass-1 channel
+        contractions err/gc/gcd/scd."""
+        pi_n = jnp.exp(l_scr[n] - mx) * inv_se
         s_n = s_scr[n]
-        e_n = jnp.abs(c_n - tgt).sum(1) / 3.0
+        e_n = err_scr[n]
         lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
         u_n = pi_n / s_n
         wgt_n = u_n * inv_u
-        dwgt_n = (G * c_n).sum(1)
+        dwgt_n = gc_scr[n]
         du_n = dwgt_n * inv_u + dU
         dpi_n = du_n / s_n + dM * lap_n
         dl_n = pi_n * (dpi_n - S_)
@@ -611,17 +592,15 @@ def _bwd_kernel_q(
             + dlap_n * lap_n * (e_n - s_n) / (s_n * s_n)
         )
         ds_gate = ds_n * ((s_n > 0.01) & (s_n < 1.0))
-        sgn = jnp.sign(c_n - tgt)
-        dc_n = G * wgt_n[:, None] + sgn * (de_n / 3.0)[:, None]
         # d/dshift per FULL-res row: sum the (4, Rq, W2) tap-diff products
-        # over px phases and half-columns -> (2, Rq)
-        per_ph = (
-            jnp.sum(dl_n * ld_scr[n].astype(F32)
-                    + ds_gate * sd_scr[n].astype(F32), axis=2)
-            + jnp.sum(
-                dc_n * cd_scr[n].astype(F32).reshape(4, 3, Rq, W2),
-                axis=(1, 3),
-            )
+        # over px phases and half-columns -> (2, Rq).  sum_c dc.cd with
+        # dc = G*wgt + sign(c-tgt)*de/3 is wgt*gcd + de/3*scd.
+        per_ph = jnp.sum(
+            dl_n * ld_scr[n].astype(F32)
+            + ds_gate * sd_scr[n].astype(F32)
+            + wgt_n * gcd_scr[n].astype(F32)
+            + (de_n / 3.0) * scd_scr[n].astype(F32),
+            axis=2,
         )                                                   # (4, Rq)
         # sum the px phases per py with static slices (a (2,2,Rq) reshape
         # + middle-axis reduce trips a Mosaic relayout)
@@ -641,7 +620,7 @@ def _bwd_kernel_q(
             extra = (g_over_u0 * p0_n * m4 / s0_n).sum(2)   # (4, Rq)
             dshift2 = dshift2 + jnp.stack(
                 [extra[0] + extra[1], extra[2] + extra[3]])
-        return dl_n, ds_gate, dc_n, dshift2, dl0_n, ds0_n
+        return dl_n, ds_gate, dshift2, dl0_n, ds0_n
 
     def stage_g(py, dl_n, ds_g, m_col):
         """Stage the py row-phase's (px0, px1) cotangents (masked)."""
@@ -666,7 +645,7 @@ def _bwd_kernel_q(
             [bl, bs]).astype(dls_ref.dtype)
 
     def pass3_vec(n, _):
-        dl_n, ds_g, dc_n, dshift2, dl0_n, ds0_n = plane_grads(n)
+        dl_n, ds_g, dshift2, dl0_n, ds0_n = plane_grads(n)
         # (2N, Rq, 128) out: py pairs interleaved at 2n + py
         dshift_ref[pl.ds(2 * n, 2)] = jnp.broadcast_to(
             dshift2[:, :, None], (2, Rq, 128))
@@ -704,7 +683,7 @@ def _bwd_kernel_q(
         """Ground planes: static reverse half-tap grid per (py, px
         buffer, source phase) — mirror of the forward _gp_sample with the
         v1 reverse-interpolation weights."""
-        dl_n, ds_g, dc_n, dshift2, dl0_n, ds0_n = plane_grads(n)
+        dl_n, ds_g, dshift2, dl0_n, ds0_n = plane_grads(n)
         dshift_ref[pl.ds(2 * n, 2)] = jnp.broadcast_to(
             dshift2[:, :, None], (2, Rq, 128))
         JT = sm.JT
@@ -830,10 +809,6 @@ def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
             jax.ShapeDtypeStruct((B, 12, Hq, W2), srcq.dtype),
             q_shape, q_shape,
         ] + ([q_shape] if with_disp else []),
-        scratch_shapes=[
-            pltpu.VMEM((N, 4, Rq, W2), F32),
-            pltpu.VMEM((N, 4, Rq, W2), F32),
-        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -900,12 +875,14 @@ def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2,
             jax.ShapeDtypeStruct((B, 2 * N, Hq, 128), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, 4, Rq, W2), F32),          # l
+            pltpu.VMEM((N, 4, Rq, W2), F32),          # l (raw logits)
             pltpu.VMEM((N, 4, Rq, W2), F32),          # s
             pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # ld (tap diffs)
             pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # sd
-            pltpu.VMEM((N, 12, Rq, W2), srcq.dtype),  # c (phase-major rgb)
-            pltpu.VMEM((N, 12, Rq, W2), srcq.dtype),  # cd
+            pltpu.VMEM((N, 4, Rq, W2), F32),          # err = |c-tgt|/3
+            pltpu.VMEM((N, 4, Rq, W2), F32),          # gc = (G.c)
+            pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # gcd = (G.cd)
+            pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # scd = (sgn.cd)
             pltpu.VMEM((4, Rq, WG), F32),             # g staging (px, l/s)
         ],
         compiler_params=pltpu.CompilerParams(
