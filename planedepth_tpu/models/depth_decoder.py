@@ -335,12 +335,11 @@ class DepthDecoder(nn.Module):
             )                                  # (B, H/2, W/2, 4*2N)
             if head_f32:
                 ls4 = ls4.astype(jnp.float32)
-            # odd channels are sigma (the phase block size 2N is even, so
-            # parity survives the phase-major packing): sigmoid+clip there
-            is_sigma = (jnp.arange(ls4.shape[-1]) % 2) == 1
-            outputs["ls_s2d"] = jnp.where(
-                is_sigma, jnp.clip(nn.sigmoid(ls4), 0.01, 1.0), ls4
-            )
+            # RAW conv output: the sigma sigmoid+clip (odd channels) is
+            # applied at the kernel-pack site (train/step.py sigma_head)
+            # so XLA can fuse it with the sweep operand pad instead of
+            # spending a separate full-res read+write pass on it.
+            outputs["ls_s2d"] = ls4
             return outputs
 
         logits = head_conv(n_logits, "dispconv")

@@ -61,6 +61,55 @@ def smooth_loss_disp(
     return jnp.mean(dx) + jnp.mean(dy)
 
 
+def smooth_loss_disp_quad(
+    dq: jnp.ndarray, iq: jnp.ndarray, gamma: float = 1.0
+) -> jnp.ndarray:
+    """``smooth_loss_disp`` computed directly on phase-split (quad)
+    tensors — the same pixel pairs as the full-resolution version on
+    ``d2s_quad(dq)`` / ``d2s_quad(iq)`` (summation order differs), so the
+    production step never materializes a full-res disparity for the
+    smoothness term (reference layers.py:243-256; crop trainer.py:768).
+
+    dq: ``(B, 4, Hq, Wq)`` disparity, ph = 2*py + px.
+    iq: ``(B, 12, Hq, Wq)`` image, channels (py, px, rgb).
+
+    A full-res x-neighbor pair (2w+px, 2w+px+1) is a phase pair at the
+    same half-column (px=0) or a (px=1, w) -> (px=0, w+1) pair; y pairs
+    decompose identically over py.
+    """
+    B, _, Hq, Wq = dq.shape
+    d = [dq[:, ph].astype(jnp.float32) for ph in range(4)]   # (B, Hq, Wq)
+    im = iq.reshape(B, 4, 3, Hq, Wq)
+    i = [im[:, ph].astype(jnp.float32) for ph in range(4)]   # (B, 3, Hq, Wq)
+
+    def term(dA, dB, iA, iB):
+        w = jnp.exp(-gamma * jnp.mean(jnp.abs(iA - iB), axis=1))
+        return jnp.sum(jnp.abs(dA - dB) * w)
+
+    # x gradients: even x = (px0, px1) at the same half-column; odd x =
+    # (px1, w) -> (px0, w + 1)
+    sx = (
+        term(d[0], d[1], i[0], i[1]) + term(d[2], d[3], i[2], i[3])
+        + term(d[1][:, :, :-1], d[0][:, :, 1:],
+               i[1][:, :, :, :-1], i[0][:, :, :, 1:])
+        + term(d[3][:, :, :-1], d[2][:, :, 1:],
+               i[3][:, :, :, :-1], i[2][:, :, :, 1:])
+    )
+    n_x = B * Hq * 2 * (2 * Wq - 1)
+
+    # y gradients: even y = (py0, py1) at the same half-row; odd y =
+    # (py1, h) -> (py0, h + 1)
+    sy = (
+        term(d[0], d[2], i[0], i[2]) + term(d[1], d[3], i[1], i[3])
+        + term(d[2][:, :-1], d[0][:, 1:],
+               i[2][:, :, :-1], i[0][:, :, 1:])
+        + term(d[3][:, :-1], d[1][:, 1:],
+               i[3][:, :, :-1], i[1][:, :, 1:])
+    )
+    n_y = B * Wq * 2 * (2 * Hq - 1)
+    return sx / n_x + sy / n_y
+
+
 def smooth_loss_probability(
     probability: jnp.ndarray,
     disp_layered: jnp.ndarray,

@@ -348,6 +348,17 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     in_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     packed = "ls_s2d" in outputs
 
+    def sigma_head(ls, axis):
+        """Sigma sigmoid+clip on the interleaved head's odd channels
+        (moved out of the decoder so it sits next to the kernel operand
+        pad and fuses with it — no standalone full-res pass)."""
+        nch = ls.shape[axis]
+        shape = [1] * ls.ndim
+        shape[axis] = nch
+        is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(shape)
+        return jnp.where(
+            is_sigma, jnp.clip(jax.nn.sigmoid(ls), 0.01, 1.0), ls)
+
     def plane_first(x4):
         """Phase-packed (B, H/2, W/2, 4n) head -> plane-first (B, n, H, W)."""
         Bq, Hh, Wh, C4 = x4.shape
@@ -365,7 +376,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
         tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
         if packed:
-            heads = (plane_first(outputs["ls_s2d"]),)
+            heads = (plane_first(sigma_head(outputs["ls_s2d"], -1)),)
         else:
             heads = (
                 jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1),
@@ -402,9 +413,13 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         lsq = psq.quad_ls_from_s2d(outputs["ls_s2d"], in_dtype)
         srcq = psq.s2d_image(source, in_dtype)
         tgtq = psq.s2d_image(target, in_dtype)
+        # sigma_head INSIDE the shard_map body: the select fuses with the
+        # kernel operand pad there (outside it, the sharding boundary
+        # forces a standalone full-res pass)
         sweep = shard_kernel(
-            lambda *a: psq.fused_plane_sweep_quad(
-                *a, pad, interpret, n_vertical, with_disp,
+            lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad(
+                s_, t_, sigma_head(l_, 1), sh_, m_,
+                pad, interpret, n_vertical, with_disp,
                 2 * cfg.sweep_rows, cfg.sweep_gp_taps,
             ),
             in_rows=(2, 2, 2, 2, 2),
@@ -474,12 +489,25 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         losses["loss/disp_loss"] = disp_loss
         total += cfg.loss.self_distillation * disp_loss
 
-    W = disp.shape[2]
+    W = source.shape[2]
     x0 = int(0.2 * W)
-    smooth = smooth_loss_disp(
-        disp[:, :, x0:, :], batch["color_l"][:, :, x0:, :],
-        gamma=cfg.loss.gamma_smooth,
-    )
+    if use_quad and with_disp and x0 % 2 == 0:
+        # phase-domain smoothness: no full-res f32 disparity chain in the
+        # step (exact same pixel pairs; ops/losses.py)
+        from planedepth_tpu.ops.losses import smooth_loss_disp_quad
+
+        iq = (srcq if color_name == "color"
+              else psq.s2d_image(batch["color_l"], in_dtype))
+        w0 = x0 // 2
+        smooth = smooth_loss_disp_quad(
+            sweep_out[3][:, :, :, w0:], iq[:, :, :, w0:],
+            gamma=cfg.loss.gamma_smooth,
+        )
+    else:
+        smooth = smooth_loss_disp(
+            disp[:, :, x0:, :], batch["color_l"][:, :, x0:, :],
+            gamma=cfg.loss.gamma_smooth,
+        )
     losses["loss/smooth_loss"] = smooth
     losses["loss/total_loss"] = total + cfg.loss.alpha_smooth * smooth
     return losses
