@@ -569,7 +569,7 @@ def _bwd_kernel_q(
     # g staging: per output px phase, the (dl, ds) pair — [px0_l, px0_s,
     # px1_l, px1_s]; the buffer is re-staged per (plane, py).
     WG = g_scr.shape[-1]
-    g_scr[...] = jnp.zeros((4, Rq, WG), F32)
+    g_scr[...] = jnp.zeros((4, Rq, WG), g_scr.dtype)
 
     def plane_grads(n):
         """(dl, ds_gated, dshift2 (2, Rq), dl0, ds0) on (4, Rq, W2).
@@ -623,11 +623,16 @@ def _bwd_kernel_q(
         return dl_n, ds_gate, dshift2, dl0_n, ds0_n
 
     def stage_g(py, dl_n, ds_g, m_col):
-        """Stage the py row-phase's (px0, px1) cotangents (masked)."""
+        """Stage the py row-phase's (px0, px1) cotangents (masked) — in
+        the d_ls output dtype (bf16 in production: the emitted values are
+        quantized to it anyway, and staging at half width halves the
+        reverse-window VMEM traffic; f32 in the parity tests)."""
         for px in (0, 1):
             ph = 2 * py + px
-            g_scr[2 * px, :, pl.ds(pad2, W2)] = dl_n[ph] * m_col
-            g_scr[2 * px + 1, :, pl.ds(pad2, W2)] = ds_g[ph] * m_col
+            g_scr[2 * px, :, pl.ds(pad2, W2)] = (
+                dl_n[ph] * m_col).astype(g_scr.dtype)
+            g_scr[2 * px + 1, :, pl.ds(pad2, W2)] = (
+                ds_g[ph] * m_col).astype(g_scr.dtype)
 
     def center_val(dl0_n, ds0_n, py, p):
         if dl0_n is None:
@@ -773,11 +778,23 @@ def _clip_shift_q(shift2, pad2, gp_taps):
     return jnp.clip(shift2, -lim, lim)
 
 
+def _quad_slack(pad2: int, gp_taps: int) -> int:
+    """Right-side extra padding so every 128-aligned roll window fits.
+
+    Worst read end (see _mk_q): a window anchored at start <= 2*pad2 -
+    jt - 3 is rounded DOWN to q = 128*floor(start/128) and reads q +
+    width.  Vertical windows (width W2 + 128): q <= 2*pad2 - 128 (pad2
+    is a 128 multiple), end <= W2 + 2*pad2 -> slack 0.  Ground-plane tap
+    windows (width W2 + 256): q <= 2*pad2 - 128, end <= W2 + 2*pad2 +
+    128 -> slack 128."""
+    return 128 if gp_taps else 0
+
+
 def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
                 n_vertical, with_disp, gp_taps):
     B, Hq, W2, N, Rq = _quad_dims(srcq, lsq, rows)
     pad2 = _quad_pad(pad, gp_taps)
-    slack = 256 if gp_taps else 128
+    slack = _quad_slack(pad2, gp_taps)
     W2p = W2 + 2 * pad2 + slack
     shift2 = _clip_shift_q(shift2, pad2, gp_taps)
 
@@ -834,7 +851,7 @@ def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2,
     assert pad > 0, "pad is required (>= max |shift| + 1)"
     B, Hq, W2, N, Rq = _quad_dims(srcq, lsq, rows)
     pad2 = _quad_pad(pad, gp_taps)
-    slack = 256 if gp_taps else 128
+    slack = _quad_slack(pad2, gp_taps)
     W2p = W2 + 2 * pad2 + slack
     WG = W2 + 2 * pad2 + slack
     shift2 = _clip_shift_q(shift2, pad2, gp_taps)
@@ -883,7 +900,7 @@ def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2,
             pltpu.VMEM((N, 4, Rq, W2), F32),          # gc = (G.c)
             pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # gcd = (G.cd)
             pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # scd = (sgn.cd)
-            pltpu.VMEM((4, Rq, WG), F32),             # g staging (px, l/s)
+            pltpu.VMEM((4, Rq, WG), lsq.dtype),       # g staging (px, l/s)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,

@@ -142,3 +142,19 @@ def test_nearest_resize_matches_torch(size):
         mode="nearest",
     )
     np.testing.assert_allclose(ours, np.moveaxis(ref.numpy(), 1, -1))
+
+
+def test_smooth_loss_disp_quad_matches_full_res():
+    """Phase-domain smoothness == full-res smoothness on the unpacked
+    tensors (same pixel pairs, different summation order)."""
+    from planedepth_tpu.ops.losses import smooth_loss_disp, smooth_loss_disp_quad
+    from planedepth_tpu.ops.pallas_sweep_quad import d2s_quad, s2d_image
+
+    rng = np.random.default_rng(0)
+    B, Hq, Wq = 2, 6, 10
+    dq = jnp.asarray(rng.standard_normal((B, 4, Hq, Wq)), jnp.float32)
+    img = jnp.asarray(rng.random((B, 2 * Hq, 2 * Wq, 3)), jnp.float32)
+
+    full = smooth_loss_disp(d2s_quad(dq), img, gamma=2.0)
+    quad = smooth_loss_disp_quad(dq, s2d_image(img), gamma=2.0)
+    np.testing.assert_allclose(float(quad), float(full), rtol=1e-6)
