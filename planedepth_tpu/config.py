@@ -193,6 +193,10 @@ class TrainConfig:
     # the (B, N, H, W, C) plane stacks are never stored between fwd and bwd
     # (XLA-gather path only)
     remat_warp: bool = False
+    # checkpoint the perceptual net's pred-branch forward (train/losses.py
+    # perceptual_loss): True trades one extra VGG forward per step for
+    # ~2 GB of stored residuals.  Turn off when HBM allows.
+    pc_remat: bool = True
     # use the row-constant custom-VJP warp (ops/rowshift.py) on the
     # XLA-gather path (scatter-free backward)
     rowshift_warp: bool = False

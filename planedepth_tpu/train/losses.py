@@ -43,20 +43,23 @@ def perceptual_loss(
     pred: jnp.ndarray,
     target: jnp.ndarray,
     source: Optional[jnp.ndarray] = None,
+    remat: bool = True,
 ) -> jnp.ndarray:
     """VGG/ResNet feature MSE over 3 slices with optional automask min
     (reference trainer.py:672-685).
 
-    The feature extractions are rematerialized in the backward pass: the
-    pc net is frozen (no parameter grads) and only ``pred`` carries a
-    cotangent, but without remat XLA stores every VGG activation at full
-    resolution — enough to OOM the HR batch-4 step on a 16G chip.
+    Only the ``pred`` extraction is checkpointed (when ``remat``): it is
+    the sole input carrying a cotangent, and without remat XLA stores its
+    every VGG activation at full resolution — enough to OOM the HR
+    batch-4 step on a 16G chip in the r3b layout era.  The target/source
+    extractions never need remat: no cotangent enters them, so their
+    internals are dead in the backward either way while their slice
+    OUTPUTS are loss-graph residuals stored regardless — wrapping them
+    was a no-op.  ``remat=False`` trades ~2 GB of pred residuals for one
+    VGG forward per step.
     """
-    pc_apply = jax.checkpoint(pc_apply)
-    pred_f = pc_apply(pred)
-    # target/source enter only through stop-gradient-like paths (their
-    # cotangents are never requested by the train step), but remat them
-    # too so their activations are equally free
+    pc_pred = jax.checkpoint(pc_apply) if remat else pc_apply
+    pred_f = pc_pred(pred)
     target_f = pc_apply(target)
     source_f = pc_apply(source) if source is not None else None
     loss = 0.0

@@ -479,7 +479,8 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         if mask_novel is not None:
             pred = pred * mask_novel + target * (1.0 - mask_novel)
         pc = perceptual_loss(
-            pc_apply, pred, target, source if cfg.loss.automask else None
+            pc_apply, pred, target, source if cfg.loss.automask else None,
+            remat=cfg.pc_remat,
         )
         losses["loss/pc_loss"] = pc
         total += cfg.loss.alpha_pc * pc
