@@ -141,3 +141,46 @@ def test_pack_roundtrip():
                     np.asarray(pk[:, (py * 2 + px) * 6 + j]),
                     np.asarray(ls[:, j, py::2, px::2]),
                 )
+
+
+def test_window_extent_boundary_parity():
+    """Shifts near the QUAD clip limit: the roll windows reach the exact
+    edge of the padded buffer (end == W2p with the minimal _quad_slack),
+    so any off-by-one in the slack derivation shows up as clamped reads
+    breaking parity.  The v1 reference gets a larger pad so its own
+    (tighter, pad-2) clip never binds."""
+    from planedepth_tpu.ops.pallas_sweep_quad import _clip_shift_q, _quad_pad
+
+    B, H, W, N, NV = 2, 16, 64, 6, 4
+    src, tgt, ls, _, mask = _mk_data(B=B, H=H, W=W, N=N, NV=NV)
+
+    pad2 = _quad_pad(PAD, GP_TAPS)
+    lim = float(_clip_shift_q(jnp.full((1,), 1e9), pad2, GP_TAPS)[0])
+    rng = np.random.RandomState(7)
+    shift = np.zeros((B, H, N), np.float32)
+    # vertical: both signs at the limit (fractional to hit both taps)
+    shift[:, :, :NV] = rng.choice([-1.0, 1.0], (B, 1, NV)) * (lim - 1.5)
+    # ground planes: rows sweeping up to the limit from both sides
+    rows = np.arange(H, dtype=np.float32)[None, :, None]
+    sgn = rng.choice([-1.0, 1.0], (B, 1, N - NV))
+    shift[:, :, NV:] = sgn * (lim - 1.5 - 0.3 * (H - 1 - rows))
+    shift_j = jnp.asarray(shift)
+
+    pad_v1 = int(lim) + 4     # v1 clip (pad-2) must not bind
+    ref = fused_plane_sweep_packed(
+        src, tgt, ls, shift_j, jnp.asarray(mask), pad_v1, True, NV,
+        False, False, ROWS, GP_TAPS,
+    )
+    src_q = q.s2d_image(jnp.moveaxis(src, 1, -1))
+    tgt_q = q.s2d_image(jnp.moveaxis(tgt, 1, -1))
+    out = q.fused_plane_sweep_quad(
+        src_q, tgt_q, _pack_ls(ls), q.split_rows(shift_j),
+        q.split_rows(mask), PAD, True, NV, False, ROWS, GP_TAPS,
+    )
+    got = (jnp.moveaxis(q.d2s_quad(out[0]), -1, 1),
+           _d2s_scalar(out[1]), _d2s_scalar(out[2]))
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=f"output {i}",
+        )
