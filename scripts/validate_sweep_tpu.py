@@ -86,6 +86,62 @@ def check(n_vertical=49):
                   f"ref|max|={np.abs(b).max():.3e}")
 
 
+def check_quad(n_vertical=49, gp_taps=8, rows=8, interpret=False):
+    """Validate the phase-split (quad) kernel on hardware vs the dense
+    oracle: forward outputs + d_log/d_sig/d_shift through the packing
+    bijection (ops/pallas_sweep_quad.py; CPU parity lives in
+    tests/test_pallas_sweep_quad.py — this is the real-TPU leg)."""
+    from planedepth_tpu.ops import pallas_sweep_quad as q
+
+    B, H, W, N = 2, 64, 640, 63
+    args = make(B, H, W, N, n_vertical=n_vertical)
+    src, tgt, log, sig, shift, mask = args
+    pad = 64
+    out_o = oracle_dense(*args)
+    g = [jnp.ones_like(o) for o in out_o]
+
+    def scal_o(*a5):
+        o = oracle_dense(*a5, mask)
+        return sum(jnp.sum(x * y) for x, y in zip(o, g))
+
+    go = jax.grad(scal_o, argnums=(2, 3, 4))(*args[:5])
+
+    ls = jnp.stack([log, sig], 2).reshape(B, 2 * N, H, W)
+    srcq = q.s2d_image(jnp.moveaxis(src, 1, -1))
+    tgtq = q.s2d_image(jnp.moveaxis(tgt, 1, -1))
+
+    def pack_ls(ls_):
+        x = ls_.reshape(B, 2 * N, H // 2, 2, W // 2, 2)
+        return x.transpose(0, 3, 5, 1, 2, 4).reshape(
+            B, 8 * N, H // 2, W // 2)
+
+    def quad_full(ls_, sh_):
+        o = q.fused_plane_sweep_quad(
+            srcq, tgtq, pack_ls(ls_), q.split_rows(sh_),
+            q.split_rows(mask), pad, interpret, n_vertical, False,
+            rows, gp_taps)
+        return (jnp.moveaxis(q.d2s_quad(o[0]), -1, 1),
+                q.d2s_quad(o[1])[..., 0], q.d2s_quad(o[2])[..., 0])
+
+    out_k = jax.jit(quad_full)(ls, shift)
+    for name, a, b in zip(("rgb", "nll", "nll_auto"), out_k, out_o):
+        a, b = np.asarray(a), np.asarray(b)
+        print(f"[quad gp{gp_taps}] fwd {name}: maxabs={np.abs(a-b).max():.3e}")
+
+    def scal_q(ls_, sh_):
+        return sum(jnp.sum(x * y) for x, y in zip(quad_full(ls_, sh_), g))
+
+    gl, gsh = jax.jit(jax.grad(scal_q, argnums=(0, 1)))(ls, shift)
+    pairs = (
+        ("log", np.asarray(gl[:, 0::2]), np.asarray(go[0])),
+        ("sig", np.asarray(gl[:, 1::2]), np.asarray(go[1])),
+        ("shift", np.asarray(gsh), np.asarray(go[2])),
+    )
+    for name, a, b in pairs:
+        print(f"[quad gp{gp_taps}] grad {name}: maxabs={np.abs(a-b).max():.3e} "
+              f"ref|max|={np.abs(b).max():.3e}")
+
+
 def timeit_shapes(B=8, n_vertical=49, gp_taps=8, rows=8):
     """Stage-1 HR shape with the PRODUCTION plane structure: 49 vertical
     planes (row-constant shifts -> vectorized kernel paths) + 14 ground
@@ -146,6 +202,8 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
         check()
+    elif mode == "check_quad":
+        check_quad()
     else:
         gp = int(sys.argv[2]) if len(sys.argv) > 2 else 8
         rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8
