@@ -332,13 +332,26 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
     )
 
 
+def _online_e(l_n, mx):
+    """Online-softmax update sharing ONE exp: returns (corr, e_n, mx_new)
+    with corr = exp(mx - mx_new) (rescales the running accumulators) and
+    e_n = exp(l_n - mx_new).  exp(-|l_n - mx|) IS one of the two values
+    elementwise (the other is exp(0) = 1), so the rescale costs no extra
+    transcendental over a two-pass max-then-exp design."""
+    t = jnp.exp(-jnp.abs(l_n - mx))
+    gt = l_n > mx
+    one = jnp.ones_like(t)
+    return (jnp.where(gt, t, one), jnp.where(gt, one, t),
+            jnp.maximum(mx, l_n))
+
+
 def _fwd_kernel(
     shift_ref,   # (R, N) SMEM  signed source offsets
     mask_ref,    # (R, N) SMEM  row plane-validity
     src_ref,     # (3, R, Wp) VMEM padded source rows
     tgt_ref,     # (3, R, W)  VMEM target rows
     ls_ref,      # (2N, R, Wp) VMEM padded interleaved logits/sigma
-    *refs,       # rgb, nll, nlla [, disp] outs + scratches l, s [, l0, s0]
+    *refs,       # rgb, nll, nlla [, disp] outs (single pass, no scratches)
     n_planes: int,
     n_vertical: int,
     rows: int,
@@ -348,9 +361,9 @@ def _fwd_kernel(
     gp_taps: int = 0,
 ):
     if with_disp:
-        rgb_ref, nll_ref, nlla_ref, disp_ref, l_scr, s_scr = refs
+        rgb_ref, nll_ref, nlla_ref, disp_ref = refs
     else:
-        rgb_ref, nll_ref, nlla_ref, l_scr, s_scr = refs
+        rgb_ref, nll_ref, nlla_ref = refs
         disp_ref = None
     N, R, W = n_planes, rows, width
     NV = n_vertical
@@ -374,82 +387,56 @@ def _fwd_kernel(
         )
         return l0, s0
 
-    def fill(n, sampler):
-        l_n, s_n = sampler(n)
-        l_scr[n] = l_n
-        s_scr[n] = s_n
-        return l_n
-
-    # ---- pass 1: logits & sigma samples + running max (no exp).  With
-    # the fused expected-disparity head, also cache the CENTER (unshifted)
-    # samples — static slices, no windows (ops/pallas_disp.py semantics:
-    # l0 masked, s0 clipped unmasked, u weighted by the mask) ------------
-    def pass1(sampler):
-        def body(n, carry):
-            if not with_disp:
-                return jnp.maximum(carry, fill(n, sampler))
-            mx, mx0 = carry
-            l0, _ = center_ls(n)
-            return (jnp.maximum(mx, fill(n, sampler)),
-                    jnp.maximum(mx0, l0))
-        return body
-
-    if with_disp:
-        init = (jnp.full((R, W), -1e30, F32), jnp.full((R, W), -1e30, F32))
-    else:
-        init = jnp.full((R, W), -1e30, F32)
-    carry = jax.lax.fori_loop(0, NV, pass1(sample_ls_vec), init)
-    carry = jax.lax.fori_loop(NV, N, pass1(sample_ls_g), carry)
-    mx0 = None
-    if with_disp:
-        mx, mx0 = carry
-    else:
-        mx = carry
-
-    # ---- pass 2: colors + e-linear accumulators in ONE pass ----------------
-    # every sum is LINEAR in e_n = exp(l_n - max):
+    # ---- SINGLE online-softmax pass (flash-attention style; see the
+    # quad kernel, ops/pallas_sweep_quad.py): a running max with an
+    # accumulator rescale replaces the old max pass + the l/s VMEM
+    # scratch round-trip entirely.  Every accumulated sum is LINEAR in
+    # e_n = exp(l_n - max):
     #   se  = sum e            (softmax normalizer)
     #   us  = sum e/s          (=> U = us/se; rgb = rgb'/us directly)
     #   rgb'= sum (e/s) c
     #   M'  = sum e lap, Ma' = sum e lapa   (=> M = M'/se)
-    # so the old scratch-only exp pass folds away; e is cached in place of
-    # l for any later consumer.  The center (disp-head) sums se0/us0/ud0
-    # ride the same loop.
+    # so one corr multiply per plane keeps them exact, and the rescale
+    # shares its exp with e_n (_online_e).  The center (disp-head) sums
+    # se0/us0/ud0 ride the same loop under their own running max.
     tgt = tgt_ref[...].astype(F32)                        # (3, R, W)
     e_auto = (
         jnp.abs(src_ref[:, :, pl.ds(pad, W)].astype(F32) - tgt).sum(0) / 3.0
     )
 
-    def pass2(sampler):
+    def pass_all(sample_ls, sample_c):
         def body(n, carry):
-            se, us, rgb_acc, M, Ma = carry[:5]
-            e_n = jnp.exp(l_scr[n] - mx)
-            l_scr[n] = e_n               # overwrite: raw l is dead now
-            s_n = s_scr[n]
+            mx, se, us, rgb_acc, M, Ma = carry[:6]
+            l_n, s_n = sample_ls(n)
+            c_n = sample_c(n)                             # (3, R, W)
+            corr, e_n, mx = _online_e(l_n, mx)
             u_n = e_n / s_n
-            c_n = sampler(n)                              # (3, R, W)
-            rgb_acc = rgb_acc + u_n[None] * c_n
+            rgb_acc = rgb_acc * corr[None] + u_n[None] * c_n
             err_n = jnp.abs(c_n - tgt).sum(0) / 3.0
-            M = M + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
-            Ma = Ma + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
-            head = (se + e_n, us + u_n, rgb_acc, M, Ma)
+            M = M * corr + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
+            Ma = Ma * corr + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
+            head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M, Ma)
             if not with_disp:
                 return head
-            se0, us0, ud0 = carry[5:]
+            mx0, se0, us0, ud0 = carry[6:]
             l0, s0 = center_ls(n)
-            u0_n = jnp.exp(l0 - mx0) * _row_col(mask_ref, n, R) / s0
-            return head + (se0 + u0_n * s0, us0 + u0_n,
-                           ud0 + u0_n * _row_col(shift_ref, n, R))
+            corr0, e0_n, mx0 = _online_e(l0, mx0)
+            u0_n = e0_n * _row_col(mask_ref, n, R) / s0
+            return head + (mx0, se0 * corr0 + u0_n * s0,
+                           us0 * corr0 + u0_n,
+                           ud0 * corr0 + u0_n * _row_col(shift_ref, n, R))
         return body
 
-    n_carry = 8 if with_disp else 5
-    carry = (jnp.zeros((R, W), F32), jnp.zeros((R, W), F32),
-             jnp.zeros((3, R, W), F32)) + tuple(
-        jnp.zeros((R, W), F32) for _ in range(n_carry - 3)
-    )
-    carry = jax.lax.fori_loop(0, NV, pass2(sample_c_vec), carry)
-    carry = jax.lax.fori_loop(NV, N, pass2(sample_c_g), carry)
-    se, us, rgb_acc, M, Ma = carry[:5]
+    zero = jnp.zeros((R, W), F32)
+    neg = jnp.full((R, W), -1e30, F32)
+    carry = (neg, zero, zero, jnp.zeros((3, R, W), F32), zero, zero)
+    if with_disp:
+        carry = carry + (neg, zero, zero, zero)
+    carry = jax.lax.fori_loop(
+        0, NV, pass_all(sample_ls_vec, sample_c_vec), carry)
+    carry = jax.lax.fori_loop(NV, N, pass_all(sample_ls_g, sample_c_g),
+                              carry)
+    se, us, rgb_acc, M, Ma = carry[1:6]
     inv_se = 1.0 / se                        # se >= exp(0) = 1 at the max
     U = us * inv_se
     # rgb = sum (pi/s) c * inv(U) = (inv_se * rgb') * inv(us * inv_se)
@@ -462,7 +449,7 @@ def _fwd_kernel(
     nll_ref[...] = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
     nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
     if with_disp:
-        se0, us0, ud0 = carry[5:]
+        se0, us0, ud0 = carry[7:]
         U0 = us0 / se0
         inv_us0 = jnp.where(U0 > 1e-7, 1.0 / jnp.maximum(us0, 1e-30), 0.0)
         disp_ref[...] = (ud0 * inv_us0).astype(disp_ref.dtype)
@@ -981,10 +968,6 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
             jax.ShapeDtypeStruct((B, 3, H, W), src_t.dtype),
             row_shape, row_shape,
         ] + ([row_shape] if with_disp else []),
-        scratch_shapes=[
-            pltpu.VMEM((N, R, W), F32),
-            pltpu.VMEM((N, R, W), F32),
-        ],
         compiler_params=pltpu.CompilerParams(
             # full-plane blocks + double buffering exceed the default 16M
             # scoped budget; v5e has 128M physical VMEM per core

@@ -61,7 +61,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from planedepth_tpu.ops.pallas_sweep import _pad_w
+from planedepth_tpu.ops.pallas_sweep import _online_e, _pad_w
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -343,19 +343,6 @@ def _mk_q(shift_ref, mask_ref, src_ref, ls_ref, Rq, W2, pad2, n2, gp_taps):
         k_extreme=k_extreme, row_onehots=row_onehots, tap_w=tap_w,
         q_tap_w=q_tap_w, roll_w=roll_w, WQ=WQ, WT=WT, JT=JT,
     )
-
-
-def _online_e(l_n, mx):
-    """Online-softmax update sharing ONE exp: returns (corr, e_n, mx_new)
-    with corr = exp(mx - mx_new) (rescales running accumulators) and
-    e_n = exp(l_n - mx_new).  exp(-|l_n - mx|) IS one of the two
-    elementwise (the other is exp(0) = 1), so the rescale costs no extra
-    transcendental over the two-pass max-then-exp design."""
-    t = jnp.exp(-jnp.abs(l_n - mx))
-    gt = l_n > mx
-    one = jnp.ones_like(t)
-    return (jnp.where(gt, t, one), jnp.where(gt, one, t),
-            jnp.maximum(mx, l_n))
 
 
 def _fwd_kernel_q(
