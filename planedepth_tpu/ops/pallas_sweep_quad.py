@@ -345,13 +345,22 @@ def _mk_q(shift_ref, mask_ref, src_ref, ls_ref, Rq, W2, pad2, n2, gp_taps):
     )
 
 
+def _n_stats(with_disp: bool) -> int:
+    """f32 per-phase softmax statistics the forward can emit for the
+    single-pass backward (flash-attention style): L = mx + log(se),
+    U = us/se, M (mixture sum), and with the fused disp head the center
+    triple (L0 over the UNMASKED center normalizer, U0, disp0) matching
+    the backward's center algebra exactly."""
+    return 6 if with_disp else 3
+
+
 def _fwd_kernel_q(
     shift_ref,   # (2, Rq, N) SMEM  py-split signed offsets
     mask_ref,    # (2, Rq, N) SMEM
     src_ref,     # (12, Rq, W2p) VMEM padded s2d source
     tgt_ref,     # (12, Rq, W2)  VMEM s2d target
     ls_ref,      # (4*2N, Rq, W2p) VMEM padded quad interleaved heads
-    *refs,       # rgb, nll, nlla [, disp] outs (NO scratches: single pass)
+    *refs,       # rgb, nll, nlla [, disp] [, stats] outs (single pass)
     n_planes: int,
     n_vertical: int,
     rows_q: int,
@@ -359,7 +368,10 @@ def _fwd_kernel_q(
     pad_q: int,
     with_disp: bool = False,
     gp_taps: int = 0,
+    with_stats: bool = False,
 ):
+    refs = list(refs)
+    stats_ref = refs.pop() if with_stats else None
     if with_disp:
         rgb_ref, nll_ref, nlla_ref, disp_ref = refs
     else:
@@ -395,14 +407,19 @@ def _fwd_kernel_q(
             head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M, Ma)
             if not with_disp:
                 return head
-            mx0, se0, us0, ud0 = carry[6:]
+            mx0, se0, us0, ud0 = carry[6:10]
             l0, s0_raw = sm.center_ls(n)
             s0 = jnp.clip(s0_raw, 0.01, 1.0)
             corr0, e0_n, mx0 = _online_e(l0, mx0)
             u0_n = e0_n * sm.mask4(n) / s0
-            return head + (mx0, se0 * corr0 + u0_n * s0,
+            head = head + (mx0, se0 * corr0 + u0_n * s0,
                            us0 * corr0 + u0_n,
                            ud0 * corr0 + u0_n * sm.row4(shift_ref, n))
+            if with_stats:
+                # UNMASKED center normalizer (the backward's center
+                # softmax is taken over all planes, mask applied after)
+                head = head + (carry[10] * corr0 + e0_n,)
+            return head
         return body
 
     shp = (4, Rq, W2)
@@ -411,6 +428,8 @@ def _fwd_kernel_q(
     carry = (neg, zero, zero, jnp.zeros((4, 3, Rq, W2), F32), zero, zero)
     if with_disp:
         carry = carry + (neg, zero, zero, zero)
+        if with_stats:
+            carry = carry + (zero,)
     carry = jax.lax.fori_loop(0, NV, pass_all(sm.ls_vec, sm.c_vec), carry)
     if N > NV:
         carry = jax.lax.fori_loop(
@@ -427,10 +446,20 @@ def _fwd_kernel_q(
     nll_ref[...] = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
     nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
     if with_disp:
-        se0, us0, ud0 = carry[7:]
+        se0, us0, ud0 = carry[7:10]
         U0 = us0 / se0
         inv_us0 = jnp.where(U0 > 1e-7, 1.0 / jnp.maximum(us0, 1e-30), 0.0)
         disp_ref[...] = (ud0 * inv_us0).astype(disp_ref.dtype)
+    if with_stats:
+        mx = carry[0]
+        stats = [mx + jnp.log(se), U, M]
+        if with_disp:
+            mx0, se0r = carry[6], carry[10]
+            U0b = us0 / se0r
+            disp0 = jnp.where(
+                U0b > 1e-7, ud0 / jnp.maximum(us0, 1e-30), 0.0)
+            stats += [mx0 + jnp.log(se0r), U0b, disp0]
+        stats_ref[...] = jnp.stack(stats).reshape(-1, Rq, W2)
 
 
 def _bwd_kernel_q(
@@ -439,11 +468,11 @@ def _bwd_kernel_q(
     src_ref,     # (12, Rq, W2p)
     tgt_ref,     # (12, Rq, W2)
     ls_ref,      # (4*2N, Rq, W2p)
+    stats_ref,   # (4*_n_stats, Rq, W2) f32 forward softmax statistics
+    rgb_ref,     # (12, Rq, W2) forward rgb output (for A = U*(G.rgb))
     grgb_ref,    # (12, Rq, W2)
     gnll_ref,    # (4, Rq, W2)
-    gnla_ref,    # (4, Rq, W2)
-    *refs,       # [gdisp] dls, dshift outs + scratches l, s, ld, sd, err,
-                 # gc, gcd, scd, g
+    *refs,       # [gdisp] dls, dshift outs + the g staging scratch
     n_planes: int,
     n_vertical: int,
     rows_q: int,
@@ -460,18 +489,17 @@ def _bwd_kernel_q(
     phases via a parity select (vertical planes) or the static reverse
     tap grid (ground planes).
 
-    Structure: ONE online-softmax recompute pass (max/exp rescale as in
-    the forward), then the emission pass.  Colors are never cached:
-    every pass-3 use of the 12-channel c/cd samples reduces to four
-    per-plane channel contractions computable while they are live —
-    err = |c-tgt|/3, gc = (G.c), gcd = (G.cd), scd = (sign(c-tgt).cd) —
-    so the emission pass is color-free and the scratch set shrinks from
-    two (N, 12, ...) buffers to four (N, 4, ...) ones."""
+    Structure: ONE pass, flash-attention style.  The forward saves its
+    per-phase softmax statistics (L = mx + log se, U, M and the center
+    triple), and the two remaining global couplings come for free from
+    the forward OUTPUTS: A = sum_n u_n (G.c_n) = U * (G . rgb_out)
+    (since rgb_out = sum u c / sum u), and M rides the stats.  With every
+    global known up front, each plane's samples are consumed the moment
+    they are live — pi_n = exp(l_n - L) — so the old recompute pass and
+    its eight (N, 4, Rq, W2) VMEM scratches disappear entirely."""
     refs = list(refs)
     gdisp_ref = refs.pop(0) if with_disp else None
-    (dls_ref, dshift_ref,
-     l_scr, s_scr, ld_scr, sd_scr, err_scr, gc_scr, gcd_scr, scd_scr,
-     g_scr) = refs
+    dls_ref, dshift_ref, g_scr = refs
     N, NV, Rq, W2 = n_planes, n_vertical, rows_q, width_q
     n2 = 2 * N
     pad2 = pad_q
@@ -481,74 +509,24 @@ def _bwd_kernel_q(
                gp_taps)
     if N > NV:
         assert gp_taps > 0, "quad kernel requires gp_taps for ground planes"
-    shp = (4, Rq, W2)
 
     tgt = tgt_ref[...].astype(F32).reshape(4, 3, Rq, W2)
     G = grgb_ref[...].astype(F32).reshape(4, 3, Rq, W2)
     gN = gnll_ref[...].astype(F32)
 
-    # ---- pass 1 (merged recompute + couplings, online softmax) ------------
-    def pass1(sample_lsd, sample_cd):
-        def body(n, carry):
-            mx, se, U, A, M = carry[:5]
-            l_n, s_n, ld_n, sd_n = sample_lsd(n)
-            c_n, cd_n = sample_cd(n)
-            l_scr[n] = l_n                       # RAW logits (pass 3 exps)
-            s_scr[n] = s_n
-            ld_scr[n] = ld_n.astype(ld_scr.dtype)
-            sd_scr[n] = sd_n.astype(sd_scr.dtype)
-            diff = c_n - tgt
-            err_n = jnp.abs(diff).sum(1) / 3.0
-            gc_n = (G * c_n).sum(1)
-            err_scr[n] = err_n
-            gc_scr[n] = gc_n
-            gcd_scr[n] = ((G * cd_n).sum(1)).astype(gcd_scr.dtype)
-            scd_scr[n] = ((jnp.sign(diff) * cd_n).sum(1)).astype(
-                scd_scr.dtype)
-            corr, e_n, mx = _online_e(l_n, mx)
-            u_n = e_n / s_n
-            lap_n = 0.5 * jnp.exp(-err_n / s_n) / s_n
-            out = (mx, se * corr + e_n, U * corr + u_n,
-                   A * corr + gc_n * u_n, M * corr + e_n * lap_n)
-            if with_disp:
-                mx0, se0, us0, ud0 = carry[-4:]
-                l0, s0_raw = sm.center_ls(n)
-                corr0, e0_n, mx0 = _online_e(l0, mx0)
-                u0_n = (e0_n * sm.mask4(n)
-                        / jnp.clip(s0_raw, 0.01, 1.0))
-                out = out + (mx0, se0 * corr0 + e0_n, us0 * corr0 + u0_n,
-                             ud0 * corr0 + u0_n * sm.row4(shift_ref, n))
-            return out
-        return body
-
-    zero = jnp.zeros(shp, F32)
-    neg = jnp.full(shp, -1e30, F32)
-    carry = (neg, zero, zero, zero, zero)
-    if with_disp:
-        carry = carry + (neg, zero, zero, zero)
-    carry = jax.lax.fori_loop(0, NV, pass1(sm.lsd_vec, sm.cd_vec), carry)
-    if N > NV:
-        carry = jax.lax.fori_loop(
-            NV, N, pass1(sm.lsd_taps, sm.cd_taps), carry)
-    mx, se, U, A, M = carry[:5]
-    mx0 = None
-    if with_disp:
-        mx0 = carry[-4]
-    inv_se = 1.0 / se
-    U = U * inv_se
-    A = A * inv_se
-    M = M * inv_se
+    # ---- global couplings from the forward statistics ----------------------
+    st = stats_ref[...].reshape(_n_stats(with_disp), 4, Rq, W2)
+    L, U, M = st[0], st[1], st[2]
+    rgb0 = rgb_ref[...].astype(F32).reshape(4, 3, Rq, W2)
+    A = U * (G * rgb0).sum(1)
     inv_u = jnp.where(U > 1e-7, 1.0 / jnp.maximum(U, 1e-7), 0.0)
     dM = -gN * (M > 0) / (jnp.maximum(M, 0.0) + 1e-7)
     dU = -(inv_u**2) * A * (U > 1e-7)
     S_ = inv_u * A + dM * M + dU * U
 
     if with_disp:
-        se0, us0, ud0 = carry[-3:]
-        inv_se0 = 1.0 / se0
-        U0 = us0 * inv_se0
+        L0, U0, disp0 = st[3], st[4], st[5]
         live0 = (U0 > 1e-7).astype(F32)
-        disp0 = jnp.where(U0 > 1e-7, ud0 / jnp.maximum(us0, 1e-30), 0.0)
         gD = gdisp_ref[...].astype(F32) * live0
         g_over_u0 = gD / jnp.maximum(U0, 1e-7)
 
@@ -558,18 +536,22 @@ def _bwd_kernel_q(
     WG = g_scr.shape[-1]
     g_scr[...] = jnp.zeros((4, Rq, WG), g_scr.dtype)
 
-    def plane_grads(n):
-        """(dl, ds_gated, dshift2 (2, Rq), dl0, ds0) on (4, Rq, W2).
-        Color-free: every c/cd use enters through the pass-1 channel
-        contractions err/gc/gcd/scd."""
-        pi_n = jnp.exp(l_scr[n] - mx) * inv_se
-        s_n = s_scr[n]
-        e_n = err_scr[n]
+    def plane_grads(sample_lsd, sample_cd, n):
+        """(dl, ds_gated, dshift2 (2, Rq), dl0, ds0) on (4, Rq, W2), all
+        from LIVE samples: the c/cd uses reduce to the four channel
+        contractions err/gc/gcd/scd computed in place."""
+        l_n, s_n, ld_n, sd_n = sample_lsd(n)
+        c_n, cd_n = sample_cd(n)
+        diff = c_n - tgt
+        e_n = jnp.abs(diff).sum(1) / 3.0
+        gc_n = (G * c_n).sum(1)
+        gcd_n = (G * cd_n).sum(1)
+        scd_n = (jnp.sign(diff) * cd_n).sum(1)
+        pi_n = jnp.exp(l_n - L)
         lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
         u_n = pi_n / s_n
         wgt_n = u_n * inv_u
-        dwgt_n = gc_scr[n]
-        du_n = dwgt_n * inv_u + dU
+        du_n = gc_n * inv_u + dU
         dpi_n = du_n / s_n + dM * lap_n
         dl_n = pi_n * (dpi_n - S_)
         dlap_n = dM * pi_n
@@ -583,10 +565,8 @@ def _bwd_kernel_q(
         # over px phases and half-columns -> (2, Rq).  sum_c dc.cd with
         # dc = G*wgt + sign(c-tgt)*de/3 is wgt*gcd + de/3*scd.
         per_ph = jnp.sum(
-            dl_n * ld_scr[n].astype(F32)
-            + ds_gate * sd_scr[n].astype(F32)
-            + wgt_n * gcd_scr[n].astype(F32)
-            + (de_n / 3.0) * scd_scr[n].astype(F32),
+            dl_n * ld_n + ds_gate * sd_n
+            + wgt_n * gcd_n + (de_n / 3.0) * scd_n,
             axis=2,
         )                                                   # (4, Rq)
         # sum the px phases per py with static slices (a (2,2,Rq) reshape
@@ -597,7 +577,7 @@ def _bwd_kernel_q(
         if with_disp:
             m4 = sm.mask4(n)
             l0, s0_raw = sm.center_ls(n)
-            p0_n = jnp.exp(l0 - mx0) * inv_se0
+            p0_n = jnp.exp(l0 - L0)
             s0_n = jnp.clip(s0_raw, 0.01, 1.0)
             du0 = g_over_u0 * (sm.row4(shift_ref, n) - disp0)
             dp0 = du0 * m4 / s0_n
@@ -637,7 +617,8 @@ def _bwd_kernel_q(
             [bl, bs]).astype(dls_ref.dtype)
 
     def pass3_vec(n, _):
-        dl_n, ds_g, dshift2, dl0_n, ds0_n = plane_grads(n)
+        dl_n, ds_g, dshift2, dl0_n, ds0_n = plane_grads(
+            sm.lsd_vec, sm.cd_vec, n)
         # (2N, Rq, 128) out: py pairs interleaved at 2n + py
         dshift_ref[pl.ds(2 * n, 2)] = jnp.broadcast_to(
             dshift2[:, :, None], (2, Rq, 128))
@@ -675,7 +656,8 @@ def _bwd_kernel_q(
         """Ground planes: static reverse half-tap grid per (py, px
         buffer, source phase) — mirror of the forward _gp_sample with the
         v1 reverse-interpolation weights."""
-        dl_n, ds_g, dshift2, dl0_n, ds0_n = plane_grads(n)
+        dl_n, ds_g, dshift2, dl0_n, ds0_n = plane_grads(
+            sm.lsd_taps, sm.cd_taps, n)
         dshift_ref[pl.ds(2 * n, 2)] = jnp.broadcast_to(
             dshift2[:, :, None], (2, Rq, 128))
         JT = sm.JT
@@ -725,12 +707,12 @@ def _bwd_kernel_q(
 @functools.partial(
     jax.jit,
     static_argnames=("pad", "rows", "interpret", "n_vertical", "with_disp",
-                     "gp_taps"),
+                     "gp_taps", "with_stats"),
 )
 def sweep_forward_quad(srcq, tgtq, lsq, shift2, mask2,
                        pad: int, rows: int = 16, interpret: bool = False,
                        n_vertical: int = 0, with_disp: bool = False,
-                       gp_taps: int = 0):
+                       gp_taps: int = 0, with_stats: bool = False):
     """Quad forward kernel invocation.
 
     Args:
@@ -741,13 +723,17 @@ def sweep_forward_quad(srcq, tgtq, lsq, shift2, mask2,
       shift2/mask2: ``(B, 2, H/2, N)`` py-split row offsets / validity.
       pad: FULL-resolution W padding bound (same contract as v1).
       rows: full-resolution rows per block (must be even).
+      with_stats: additionally emit the per-phase softmax statistics
+        ``(B, 4*_n_stats, H/2, W/2)`` f32 consumed by the single-pass
+        backward (appended as the LAST output).
 
     Returns: (rgbq (B, 12, H/2, W/2) input-dtype, nll (B, 4, H/2, W/2)
-    f32, nll_auto, [disp]) — all phase-split, ph = 2*py + px.
+    f32, nll_auto, [disp] [, stats]) — all phase-split, ph = 2*py + px.
     """
     return _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, pad=pad, rows=rows,
                        interpret=interpret, n_vertical=n_vertical,
-                       with_disp=with_disp, gp_taps=gp_taps)
+                       with_disp=with_disp, gp_taps=gp_taps,
+                       with_stats=with_stats)
 
 
 def _quad_dims(srcq, lsq, rows):
@@ -778,7 +764,7 @@ def _quad_slack(pad2: int, gp_taps: int) -> int:
 
 
 def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
-                n_vertical, with_disp, gp_taps):
+                n_vertical, with_disp, gp_taps, with_stats=False):
     B, Hq, W2, N, Rq = _quad_dims(srcq, lsq, rows)
     pad2 = _quad_pad(pad, gp_taps)
     slack = _quad_slack(pad2, gp_taps)
@@ -791,6 +777,7 @@ def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
     kernel = functools.partial(
         _fwd_kernel_q, n_planes=N, n_vertical=n_vertical, rows_q=Rq,
         width_q=W2, pad_q=pad2, with_disp=with_disp, gp_taps=gp_taps,
+        with_stats=with_stats,
     )
     smem_spec = pl.BlockSpec((None, 2, Rq, N), lambda b, h: (b, 0, h, 0),
                              memory_space=pltpu.SMEM)
@@ -800,6 +787,18 @@ def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
                             memory_space=pltpu.VMEM)
 
     q_shape = jax.ShapeDtypeStruct((B, 4, Hq, W2), F32)
+    out_specs = [vspec(12, W2), vspec(4, W2), vspec(4, W2)]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 12, Hq, W2), srcq.dtype),
+        q_shape, q_shape,
+    ]
+    if with_disp:
+        out_specs.append(vspec(4, W2))
+        out_shape.append(q_shape)
+    if with_stats:
+        ks = 4 * _n_stats(with_disp)
+        out_specs.append(vspec(ks, W2))
+        out_shape.append(jax.ShapeDtypeStruct((B, ks, Hq, W2), F32))
     outs = pl.pallas_call(
         kernel,
         grid=(B, Hq // Rq),
@@ -807,12 +806,8 @@ def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
             smem_spec, smem_spec,
             vspec(12, W2p), vspec(12, W2), vspec(8 * N, W2p),
         ],
-        out_specs=[vspec(12, W2), vspec(4, W2), vspec(4, W2)]
-        + ([vspec(4, W2)] if with_disp else []),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 12, Hq, W2), srcq.dtype),
-            q_shape, q_shape,
-        ] + ([q_shape] if with_disp else []),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -826,12 +821,18 @@ def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
     static_argnames=("pad", "rows", "interpret", "n_vertical", "with_disp",
                      "gp_taps"),
 )
-def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2,
-                        g_rgb, g_nll, g_nla, g_disp=None,
+def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2, stats, rgb,
+                        g_rgb, g_nll, g_disp=None,
                         pad: int = 0, rows: int = 16,
                         interpret: bool = False, n_vertical: int = 0,
                         with_disp: bool = False, gp_taps: int = 0):
     """Quad backward kernel invocation (production: image_grads=False).
+
+    ``stats``/``rgb`` are the forward's with_stats output and rgb output
+    (residuals).  nll_auto's cotangent is not an argument: its only live
+    adjoint path is into the images (pi/sigma are treated as constants
+    there, reference trainer.py:733), and the quad path never
+    differentiates the batch images.
 
     Returns (d_lsq (B, 4*2N, H/2, W/2) lsq.dtype, d_shift2 (B, 2, H/2, N)).
     """
@@ -857,8 +858,9 @@ def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2,
         return pl.BlockSpec((None, c, Rq, Wd), lambda b, h: (b, 0, h, 0),
                             memory_space=pltpu.VMEM)
 
-    ct_args = [g_rgb, g_nll, g_nla]
-    ct_specs = [vspec(12, W2), vspec(4, W2), vspec(4, W2)]
+    ks = 4 * _n_stats(with_disp)
+    ct_args = [stats, rgb, g_rgb, g_nll]
+    ct_specs = [vspec(ks, W2), vspec(12, W2), vspec(12, W2), vspec(4, W2)]
     if with_disp:
         ct_args.append(g_disp)
         ct_specs.append(vspec(4, W2))
@@ -879,18 +881,10 @@ def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2,
             jax.ShapeDtypeStruct((B, 2 * N, Hq, 128), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, 4, Rq, W2), F32),          # l (raw logits)
-            pltpu.VMEM((N, 4, Rq, W2), F32),          # s
-            pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # ld (tap diffs)
-            pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # sd
-            pltpu.VMEM((N, 4, Rq, W2), F32),          # err = |c-tgt|/3
-            pltpu.VMEM((N, 4, Rq, W2), F32),          # gc = (G.c)
-            pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # gcd = (G.cd)
-            pltpu.VMEM((N, 4, Rq, W2), lsq.dtype),    # scd = (sgn.cd)
             pltpu.VMEM((4, Rq, WG), lsq.dtype),       # g staging (px, l/s)
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(shift2, mask2, src_p, tgtq, ls_p, *ct_args)
@@ -926,17 +920,20 @@ def _fpsq_fwd(srcq, tgtq, lsq, shift2, mask2, pad, interpret, n_vertical,
     out = sweep_forward_quad(
         srcq, tgtq, lsq, shift2, mask2, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps,
+        gp_taps=gp_taps, with_stats=True,
     )
-    return out, (srcq, tgtq, lsq, shift2, mask2)
+    out, stats = out[:-1], out[-1]
+    return out, (srcq, tgtq, lsq, shift2, mask2, stats, out[0])
 
 
 def _fpsq_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps, res,
               cts):
-    srcq, tgtq, lsq, shift2, mask2 = res
+    srcq, tgtq, lsq, shift2, mask2, stats, rgb = res
+    # cts[2] (nll_auto) is dropped: pi/sigma are constants in the automask
+    # branch (reference trainer.py:733) and images get no gradient here.
     g_disp = cts[3] if with_disp else None
     d_ls, d_shift2 = sweep_backward_quad(
-        srcq, tgtq, lsq, shift2, mask2, cts[0], cts[1], cts[2], g_disp,
+        srcq, tgtq, lsq, shift2, mask2, stats, rgb, cts[0], cts[1], g_disp,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         with_disp=with_disp, gp_taps=gp_taps,
     )
