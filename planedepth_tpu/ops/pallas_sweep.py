@@ -17,19 +17,20 @@ Key design points (see pallas_guide.md):
     zeros-padding semantics with plain reads;
   * one program per (batch, row-block); the plane loop is a fori_loop with
     per-row 2-tap dynamic slices — no gather indices ever materialize;
-  * softmax over planes via an online (streaming) logsumexp;
-  * three plane passes: (1) sample logits/sigma into VMEM scratch +
-    online lse, (2) mixture normalizer U = sum(pi/sigma), (3) resample
-    rgb, composite, and accumulate both mixture sums.
+  * ONE plane pass, flash-attention style: an online softmax (running max
+    + accumulator rescale, :func:`_online_e`) folds sampling, compositing
+    and both mixture sums into a single loop with no VMEM scratch.
 
 The gradient is provided by :func:`fused_plane_sweep`'s custom VJP, whose
 backward is a second Pallas kernel (:func:`_bwd_kernel`) with the same
-slicing structure: it recomputes the forward samples into VMEM scratch
-(caching the interpolation tap differences, which make d/dshift free) and
-emits all five gradients scatter-free via reverse windows — the adjoint
-never materializes the plane stack either.  ``_sweep_bwd`` below is the
-kernel-free XLA twin of that adjoint, kept as the correctness oracle for
-tests.
+slicing structure — also a SINGLE pass: the forward saves its softmax
+statistics (``with_stats``) and the one cotangent-dependent coupling is
+recovered from the forward outputs (A = U * (G . rgb)), so each plane's
+samples are consumed live (the tap differences make d/dshift free) and
+all five gradients are emitted scatter-free via reverse windows — the
+adjoint never materializes the plane stack either.  ``_sweep_bwd`` below
+is the kernel-free XLA twin of that adjoint, kept as the correctness
+oracle for tests.
 """
 from __future__ import annotations
 
@@ -345,13 +346,22 @@ def _online_e(l_n, mx):
             jnp.maximum(mx, l_n))
 
 
+def _n_stats(with_disp: bool) -> int:
+    """f32 per-pixel softmax statistics the forward can emit for the
+    single-pass backward (flash-attention style): L = mx + log(se),
+    U = us/se, M and Ma (the mixture sums), and with the fused disp head
+    the center triple (L0 over the UNMASKED center normalizer, U0, disp0)
+    matching the backward's center algebra exactly."""
+    return 7 if with_disp else 4
+
+
 def _fwd_kernel(
     shift_ref,   # (R, N) SMEM  signed source offsets
     mask_ref,    # (R, N) SMEM  row plane-validity
     src_ref,     # (3, R, Wp) VMEM padded source rows
     tgt_ref,     # (3, R, W)  VMEM target rows
     ls_ref,      # (2N, R, Wp) VMEM padded interleaved logits/sigma
-    *refs,       # rgb, nll, nlla [, disp] outs (single pass, no scratches)
+    *refs,       # rgb, nll, nlla [, disp] [, stats] outs (single pass)
     n_planes: int,
     n_vertical: int,
     rows: int,
@@ -359,7 +369,10 @@ def _fwd_kernel(
     pad: int,
     with_disp: bool = False,
     gp_taps: int = 0,
+    with_stats: bool = False,
 ):
+    refs = list(refs)
+    stats_ref = refs.pop() if with_stats else None
     if with_disp:
         rgb_ref, nll_ref, nlla_ref, disp_ref = refs
     else:
@@ -418,13 +431,18 @@ def _fwd_kernel(
             head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M, Ma)
             if not with_disp:
                 return head
-            mx0, se0, us0, ud0 = carry[6:]
+            mx0, se0, us0, ud0 = carry[6:10]
             l0, s0 = center_ls(n)
             corr0, e0_n, mx0 = _online_e(l0, mx0)
             u0_n = e0_n * _row_col(mask_ref, n, R) / s0
-            return head + (mx0, se0 * corr0 + u0_n * s0,
+            head = head + (mx0, se0 * corr0 + u0_n * s0,
                            us0 * corr0 + u0_n,
                            ud0 * corr0 + u0_n * _row_col(shift_ref, n, R))
+            if with_stats:
+                # UNMASKED center normalizer (the backward's center
+                # softmax runs over all planes, mask applied after)
+                head = head + (carry[10] * corr0 + e0_n,)
+            return head
         return body
 
     zero = jnp.zeros((R, W), F32)
@@ -432,6 +450,8 @@ def _fwd_kernel(
     carry = (neg, zero, zero, jnp.zeros((3, R, W), F32), zero, zero)
     if with_disp:
         carry = carry + (neg, zero, zero, zero)
+        if with_stats:
+            carry = carry + (zero,)
     carry = jax.lax.fori_loop(
         0, NV, pass_all(sample_ls_vec, sample_c_vec), carry)
     carry = jax.lax.fori_loop(NV, N, pass_all(sample_ls_g, sample_c_g),
@@ -449,10 +469,20 @@ def _fwd_kernel(
     nll_ref[...] = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
     nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
     if with_disp:
-        se0, us0, ud0 = carry[7:]
+        se0, us0, ud0 = carry[7:10]
         U0 = us0 / se0
         inv_us0 = jnp.where(U0 > 1e-7, 1.0 / jnp.maximum(us0, 1e-30), 0.0)
         disp_ref[...] = (ud0 * inv_us0).astype(disp_ref.dtype)
+    if with_stats:
+        mx = carry[0]
+        stats = [mx + jnp.log(se), U, M, Ma]
+        if with_disp:
+            mx0, se0r = carry[6], carry[10]
+            U0b = us0 / se0r
+            disp0 = jnp.where(
+                U0b > 1e-7, ud0 / jnp.maximum(us0, 1e-30), 0.0)
+            stats += [mx0 + jnp.log(se0r), U0b, disp0]
+        stats_ref[...] = jnp.stack(stats)
 
 
 def _bwd_kernel(
@@ -461,12 +491,13 @@ def _bwd_kernel(
     src_ref,     # (3, R, Wp) VMEM padded source rows
     tgt_ref,     # (3, R, W)
     ls_ref,      # (2N, R, Wp) padded interleaved logits/sigma
+    stats_ref,   # (_n_stats, R, W) f32 forward softmax statistics
+    rgb_ref,     # (3, R, W) forward rgb output (for A = U*(G.rgb))
     grgb_ref,    # (3, R, W) cotangent of rgb_rec
     gnll_ref,    # (R, W)
     gnla_ref,    # (R, W)
     *refs,       # [gdisp when with_disp] [dsrc, dtgt when image_grads]
-                 # dlog, dsig, dshift outs + scratches l, s, ld, sd, c,
-                 # cd, g
+                 # dlog [, dsig], dshift outs + the g staging scratch
     n_planes: int,
     n_vertical: int,
     rows: int,
@@ -479,16 +510,18 @@ def _bwd_kernel(
 ):
     """Adjoint of _fwd_kernel, same slicing structure, scatter-free.
 
-    Math (see _sweep_bwd): with u = pi/sigma, U = sum u, wgt = u*inv(U):
-      S = sum_j dpi_j pi_j collapses to inv_u*A + dM*M + dU*U where
-      A = sum_n dwgt_n u_n — so two plane passes after the forward
-      recomputation suffice (couplings, then emission).
-
-    Every input window is sliced exactly ONCE: the recomputation passes
-    cache the sampled values AND the tap differences (free — both taps are
-    loaded for the interpolation anyway) in VMEM scratch, so the emission
-    pass does no forward sampling at all and d/dshift reduces over cached
-    (R, W) blocks instead of per-row re-windows.
+    ONE pass, flash-attention style: the forward saves its per-pixel
+    softmax statistics (L = mx + log se, U, M, Ma, plus the center
+    triple for the fused disp head), and the remaining global coupling
+    comes free from the forward OUTPUTS — with u = pi/sigma, U = sum u,
+    A = sum_n dwgt_n u_n = U * (G . rgb_out), since
+    rgb_out = sum u c / sum u.  With every global known up front each
+    plane's samples are consumed the moment they are live
+    (pi_n = exp(l_n - L)), so the old recompute/couplings passes and
+    their six (N, ...) VMEM scratches disappear; only the reverse-window
+    staging buffer remains.  The automask image adjoint's plane sum
+    dEa = -sum_n pi_n lapa_n / s_n rides the emission loop as a carry
+    and lands on dsrc/dtgt after it.
 
     ``image_grads=False`` drops the d_src/d_tgt outputs and with them the
     entire automask adjoint (nll_auto's only live cotangent path is into
@@ -509,12 +542,10 @@ def _bwd_kernel(
     else:
         dsrc_ref = dtgt_ref = None
     if packed_grads:
-        (dlog_ref, dshift_ref,
-         l_scr, s_scr, ld_scr, sd_scr, c_scr, cd_scr, g_scr) = refs
+        dlog_ref, dshift_ref, g_scr = refs
         dsig_ref = None
     else:
-        (dlog_ref, dsig_ref, dshift_ref,
-         l_scr, s_scr, ld_scr, sd_scr, c_scr, cd_scr, g_scr) = refs
+        dlog_ref, dsig_ref, dshift_ref, g_scr = refs
     N, R, W = n_planes, rows, width
     NV = n_vertical
     WQ = W + 128
@@ -538,9 +569,7 @@ def _bwd_kernel(
 
     def center_ls(n):
         """CENTER (unshifted) head samples for the fused disp head,
-        straight from the resident ls block — the input is bf16 in
-        production and pass3 reads the raw sigma anyway, so re-reading
-        beats f32 (N, R, W) scratch round-trips (and frees 5 MB VMEM)."""
+        straight from the resident ls block (bf16 in production)."""
         m = _row_col(mask_ref, n, R)
         l0 = ls_ref[2 * n, :, pl.ds(pad, W)].astype(F32) * m
         s0_raw = ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32)
@@ -560,92 +589,15 @@ def _bwd_kernel(
         rolled = pltpu.roll(win, amt, axis=2)
         return (1.0 - f) * rolled[:, :, 1 : W + 1] + f * rolled[:, :, :W]
 
-    # ---- forward recomputation: scratches + running max (no exp) -----------
-    def pass1(sampler):
-        def body(n, carry):
-            l_n, s_n, ld_n, sd_n = sampler(n)
-            l_scr[n] = l_n
-            s_scr[n] = s_n
-            # input-dtype tap-diff cache (bf16 in production — same
-            # traffic-halving rationale as c/cd in pass2)
-            ld_scr[n] = ld_n.astype(ld_scr.dtype)
-            sd_scr[n] = sd_n.astype(sd_scr.dtype)
-            if not with_disp:
-                return jnp.maximum(carry, l_n)
-            mx, mx0 = carry
-            l0, _ = center_ls(n)
-            return jnp.maximum(mx, l_n), jnp.maximum(mx0, l0)
-        return body
-
-    if with_disp:
-        init = (jnp.full((R, W), -1e30, F32), jnp.full((R, W), -1e30, F32))
-    else:
-        init = jnp.full((R, W), -1e30, F32)
-    carry1 = jax.lax.fori_loop(0, NV, pass1(sample_lsd_vec), init)
-    carry1 = jax.lax.fori_loop(NV, N, pass1(sample_lsd_g), carry1)
-    mx0 = None
-    if with_disp:
-        mx, mx0 = carry1
-    else:
-        mx = carry1
-
     tgt = tgt_ref[...].astype(F32)
     G = grgb_ref[...].astype(F32)
     gN = gnll_ref[...].astype(F32)
-    if image_grads:
-        src0 = src_ref[:, :, pl.ds(pad, W)].astype(F32)
-        e_auto = jnp.abs(src0 - tgt).sum(0) / 3.0
-        gA_ = gnla_ref[...].astype(F32)
 
-    # ---- couplings pass: e-linear accumulators (exp pass folded in) --------
-    # se/U'/A'/M' [, Ma', dEa'] are all LINEAR in e_n = exp(l_n - max);
-    # scale by inv_se once after the loop.  e is cached in place of l for
-    # the emission pass.  The center (disp-head) sums ride along.
-    def pass2(sampler):
-        def body(n, carry):
-            se, U, A, M = carry[:4]
-            e_n = jnp.exp(l_scr[n] - mx)
-            l_scr[n] = e_n               # overwrite: raw l is dead now
-            s_n = s_scr[n]
-            u_n = e_n / s_n
-            c_n, cd_n = sampler(n)
-            # input-dtype scratch (bf16 in production): halves the
-            # kernel's dominant VMEM traffic; only drops
-            # sub-input-quantization interpolation bits
-            c_scr[n] = c_n.astype(c_scr.dtype)
-            cd_scr[n] = cd_n.astype(cd_scr.dtype)
-            err_n = jnp.abs(c_n - tgt).sum(0) / 3.0
-            lap_n = 0.5 * jnp.exp(-err_n / s_n) / s_n
-            se = se + e_n
-            U = U + u_n
-            A = A + (G * c_n).sum(0) * u_n
-            M = M + e_n * lap_n
-            out = (se, U, A, M)
-            if image_grads:
-                lapa_n = 0.5 * jnp.exp(-e_auto / s_n) / s_n
-                Ma, dEa = carry[4:6]
-                out = out + (Ma + e_n * lapa_n,
-                             dEa + e_n * lapa_n * (-1.0 / s_n))
-            if with_disp:
-                se0, us0, ud0 = carry[-3:]
-                l0, s0_raw = center_ls(n)
-                e0_n = jnp.exp(l0 - mx0)
-                u0_n = (e0_n * _row_col(mask_ref, n, R)
-                        / jnp.clip(s0_raw, 0.01, 1.0))
-                out = out + (se0 + e0_n, us0 + u0_n,
-                             ud0 + u0_n * _row_col(shift_ref, n, R))
-            return out
-        return body
-
-    n_carry = (6 if image_grads else 4) + (3 if with_disp else 0)
-    carry = tuple(jnp.zeros((R, W), F32) for _ in range(n_carry))
-    carry = jax.lax.fori_loop(0, NV, pass2(sample_cd_vec), carry)
-    carry = jax.lax.fori_loop(NV, N, pass2(sample_cd_g), carry)
-    se, U, A, M = carry[:4]
-    inv_se = 1.0 / se                    # se >= exp(0) = 1 at the max
-    U = U * inv_se
-    A = A * inv_se
-    M = M * inv_se
+    # ---- global couplings from the forward statistics ----------------------
+    st = stats_ref[...]
+    L, U, M, Ma = st[0], st[1], st[2], st[3]
+    rgb0 = rgb_ref[...].astype(F32)
+    A = U * (G * rgb0).sum(0)
     inv_u = jnp.where(U > 1e-7, 1.0 / jnp.maximum(U, 1e-7), 0.0)
     dM = -gN * (M > 0) / (jnp.maximum(M, 0.0) + 1e-7)
     dU = -(inv_u**2) * A * (U > 1e-7)
@@ -656,33 +608,27 @@ def _bwd_kernel(
     # vanishes analytically (S0 = g/U0 * inv_se0 * (ud0 - disp*us0) = 0),
     # leaving per-plane-local gradients (see ops/pallas_disp.py math).
     if with_disp:
-        se0, us0, ud0 = carry[-3:]
-        inv_se0 = 1.0 / se0
-        U0 = us0 * inv_se0
+        L0, U0, disp0 = st[4], st[5], st[6]
         live0 = (U0 > 1e-7).astype(F32)
-        disp0 = jnp.where(U0 > 1e-7, ud0 / jnp.maximum(us0, 1e-30), 0.0)
         gD = gdisp_ref[...].astype(F32) * live0
         g_over_u0 = gD / jnp.maximum(U0, 1e-7)
 
-    # ---- emission (no forward sampling — everything is in scratch) ---------
     if image_grads:
-        Ma, dEa = carry[4:6]
-        Ma = Ma * inv_se
-        dEa = dEa * inv_se
+        src0 = src_ref[:, :, pl.ds(pad, W)].astype(F32)
+        e_auto = jnp.abs(src0 - tgt).sum(0) / 3.0
+        gA_ = gnla_ref[...].astype(F32)
         dMa = -gA_ * (Ma > 0) / (jnp.maximum(Ma, 0.0) + 1e-7)
-        dEa = dEa * dMa
-        dsrc_acc0 = jnp.sign(src0 - tgt) * (dEa / 3.0)[None]
-        dsrc_ref[...] = dsrc_acc0
-        dtgt_ref[...] = -dsrc_acc0
-    # pad regions stay zero: both stagings below only write [pad, pad+W)
+        dsrc_ref[...] = jnp.zeros((3, R, W), F32)
+        dtgt_ref[...] = jnp.zeros((3, R, W), F32)
+    # pad regions stay zero: the stagings below only write [pad, pad+W)
     g_scr[...] = jnp.zeros((3, R, WG), F32)
 
-    def plane_grads(n):
-        """Shared per-plane adjoint algebra ->
-        (dl, ds_gated, dc, dshift, dl0, ds0)."""
-        c_n = c_scr[n].astype(F32)
-        pi_n = l_scr[n] * inv_se
-        s_n = s_scr[n]
+    def plane_grads(sample_lsd, sample_cd, n):
+        """Per-plane adjoint algebra from LIVE samples ->
+        (dl, ds_gated, dc, dshift, dl0, ds0, dEa_n)."""
+        l_n, s_n, ld_n, sd_n = sample_lsd(n)
+        c_n, cd_n = sample_cd(n)
+        pi_n = jnp.exp(l_n - L)
         e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
         lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
         u_n = pi_n / s_n
@@ -700,20 +646,22 @@ def _bwd_kernel(
         ds_gate = ds_n * ((s_n > 0.01) & (s_n < 1.0))
         sgn = jnp.sign(c_n - tgt)
         dc_n = G * wgt_n[None] + sgn * (de_n / 3.0)[None]
+        dEa_n = None
         if image_grads:
             dtgt_ref[...] += -sgn * (de_n / 3.0)[None]
-        # d/dshift: one (R,) reduction over the cached tap diffs (the
+            lapa_n = 0.5 * jnp.exp(-e_auto / s_n) / s_n
+            dEa_n = pi_n * lapa_n * (-1.0 / s_n)
+        # d/dshift: one (R,) reduction over the live tap diffs (the
         # diffs carry the mask; the adjoints are multiplied by it anyway)
         dshift_r = (
-            jnp.sum(dl_n * ld_scr[n].astype(F32)
-                    + ds_gate * sd_scr[n].astype(F32), axis=1)
-            + jnp.sum(dc_n * cd_scr[n].astype(F32), axis=(0, 2))
+            jnp.sum(dl_n * ld_n + ds_gate * sd_n, axis=1)
+            + jnp.sum(dc_n * cd_n, axis=(0, 2))
         )                                                   # (R,)
         dl0_n = ds0_n = None
         if with_disp:
             m = _row_col(mask_ref, n, R)
             l0, s0_raw = center_ls(n)
-            p0_n = jnp.exp(l0 - mx0) * inv_se0
+            p0_n = jnp.exp(l0 - L0)
             s0_n = jnp.clip(s0_raw, 0.01, 1.0)
             du0 = g_over_u0 * (_row_col(shift_ref, n, R) - disp0)
             dp0 = du0 * m / s0_n
@@ -727,7 +675,10 @@ def _bwd_kernel(
             dshift_r = dshift_r + jnp.sum(
                 g_over_u0 * p0_n * m / s0_n, axis=1
             )
-        return dl_n, ds_gate, dc_n, dshift_r, dl0_n, ds0_n
+        return dl_n, ds_gate, dc_n, dshift_r, dl0_n, ds0_n, dEa_n
+
+    def carry_out(dEa, dEa_n):
+        return dEa + dEa_n if image_grads else dEa
 
     def center_add(back_l, back_s, dl0_n, ds0_n):
         if not with_disp:
@@ -750,8 +701,9 @@ def _bwd_kernel(
             dlog_ref[n, pl.ds(r, 1)] = bl.astype(dlog_ref.dtype)
             dsig_ref[n, pl.ds(r, 1)] = bs.astype(dsig_ref.dtype)
 
-    def pass3_vec(n, _):
-        dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n = plane_grads(n)
+    def pass3_vec(n, dEa):
+        dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n, dEa_n = plane_grads(
+            sample_lsd_vec, sample_cd_vec, n)
         p, f = taps(0, n)
         m = mask_ref[0, n]
         rev = 2 * pad - p
@@ -767,10 +719,11 @@ def _bwd_kernel(
         back2 = g_back_vec(rev, f)
         bl, bs = center_add(back2[0], back2[1], dl0_n, ds0_n)
         emit_ls(n, bl, bs)
-        return 0
+        return carry_out(dEa, dEa_n)
 
-    def pass3_rows(n, _):
-        dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n = plane_grads(n)
+    def pass3_rows(n, dEa):
+        dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n, dEa_n = plane_grads(
+            sample_lsd_g, sample_cd_g, n)
         dshift_ref[n] = jnp.broadcast_to(dshift_r[:, None], (R, 128))
 
         if image_grads:
@@ -796,14 +749,15 @@ def _bwd_kernel(
             else:
                 bl, bs = back[0], back[1]
             emit_ls_row(n, r, bl, bs)
-        return 0
+        return carry_out(dEa, dEa_n)
 
-    def pass3_taps(n, _):
+    def pass3_taps(n, dEa):
         """Row-vectorized ground-plane emission: ONE staged write + ONE
         reverse window per quantity, with the per-row reverse offsets
         realized by the same static-tap machinery as the forward samplers
         (anchor = max_r floor(shift_r), deltas = kmax - k_r)."""
-        dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n = plane_grads(n)
+        dl_n, ds_g, dc_n, dshift_r, dl0_n, ds0_n, dEa_n = plane_grads(
+            sample_lsd_g, sample_cd_g, n)
         dshift_ref[n] = jnp.broadcast_to(dshift_r[:, None], (R, 128))
 
         kmin, kmax = sm.k_extreme(n)
@@ -826,10 +780,17 @@ def _bwd_kernel(
         back = g_back_taps(2)
         bl, bs = center_add(back[0], back[1], dl0_n, ds0_n)
         emit_ls(n, bl, bs)
-        return 0
+        return carry_out(dEa, dEa_n)
 
-    jax.lax.fori_loop(0, NV, pass3_vec, 0)
-    jax.lax.fori_loop(NV, N, pass3_taps if gp_taps else pass3_rows, 0)
+    dEa = jnp.zeros((R, W), F32)
+    dEa = jax.lax.fori_loop(0, NV, pass3_vec, dEa)
+    dEa = jax.lax.fori_loop(
+        NV, N, pass3_taps if gp_taps else pass3_rows, dEa)
+    if image_grads:
+        # automask identity-error adjoint: only the images receive it
+        t_auto = jnp.sign(src0 - tgt) * ((dEa * dMa) / 3.0)[None]
+        dsrc_ref[...] += t_auto
+        dtgt_ref[...] += -t_auto
 
 
 def _pad_w(x, pad, slack=128):
@@ -855,12 +816,13 @@ def _interleave_ls(logits_t, sigma_t):
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "with_disp", "gp_taps",
+        "with_stats",
     ),
 )
 def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                   pad: int, rows: int = 8, interpret: bool = False,
                   n_vertical: int = 0, with_disp: bool = False,
-                  gp_taps: int = 0):
+                  gp_taps: int = 0, with_stats: bool = False):
     """Run the fused forward kernel.
 
     Args:
@@ -876,12 +838,14 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
 
     Returns:
       (rgb_rec (B, 3, H, W) f32, nll (B, H, W) f32, nll_auto (B, H, W) f32
-       [, disp (B, H, W) f32])
+       [, disp (B, H, W) f32] [, stats (B, _n_stats, H, W) f32 — the
+       softmax statistics the single-pass backward consumes, appended
+       LAST when ``with_stats``])
     """
     return _fwd_call(
         src_t, target_t, _interleave_ls(logits_t, sigma_t), shift, mask,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
-        with_disp=with_disp, gp_taps=gp_taps,
+        with_disp=with_disp, gp_taps=gp_taps, with_stats=with_stats,
     )
 
 
@@ -889,12 +853,13 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "with_disp", "gp_taps",
+        "with_stats",
     ),
 )
 def sweep_forward_packed(src_t, target_t, ls, shift, mask,
                          pad: int, rows: int = 8, interpret: bool = False,
                          n_vertical: int = 0, with_disp: bool = False,
-                         gp_taps: int = 0):
+                         gp_taps: int = 0, with_stats: bool = False):
     """:func:`sweep_forward` on a PRE-INTERLEAVED head buffer ``ls``
     ``(B, 2N, H, W)`` (logits at 2n, sigma at 2n+1) — the s2d production
     path where the decoder's merged head conv emits this layout up to
@@ -902,12 +867,12 @@ def sweep_forward_packed(src_t, target_t, ls, shift, mask,
     return _fwd_call(
         src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps,
+        gp_taps=gp_taps, with_stats=with_stats,
     )
 
 
 def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
-              n_vertical, with_disp, gp_taps):
+              n_vertical, with_disp, gp_taps, with_stats=False):
     B, _, H, W = src_t.shape
     N = ls.shape[1] // 2
     R = rows
@@ -936,11 +901,33 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
     kernel = functools.partial(
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
         pad=pad, with_disp=with_disp, gp_taps=gp_taps,
+        with_stats=with_stats,
     )
 
     row_spec = pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
                             memory_space=pltpu.VMEM)
     row_shape = jax.ShapeDtypeStruct((B, H, W), F32)
+    out_specs = [
+        pl.BlockSpec((None, 3, R, W), lambda b, h: (b, 0, h, 0),
+                     memory_space=pltpu.VMEM),
+        row_spec, row_spec,
+    ]
+    out_shape = [
+        # reconstruction in the INPUT dtype (bf16 in production): its
+        # only consumer is the perceptual net, which runs bf16 anyway;
+        # halves the largest output write and its cotangent traffic
+        jax.ShapeDtypeStruct((B, 3, H, W), src_t.dtype),
+        row_shape, row_shape,
+    ]
+    if with_disp:
+        out_specs.append(row_spec)
+        out_shape.append(row_shape)
+    if with_stats:
+        ks = _n_stats(with_disp)
+        out_specs.append(
+            pl.BlockSpec((None, ks, R, W), lambda b, h: (b, 0, h, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((B, ks, H, W), F32))
     outs = pl.pallas_call(
         kernel,
         grid=(B, H // R),
@@ -956,18 +943,8 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
             pl.BlockSpec((None, 2 * N, R, Wp), lambda b, h: (b, 0, h, 0),
                          memory_space=pltpu.VMEM),         # logits|sigma
         ],
-        out_specs=[
-            pl.BlockSpec((None, 3, R, W), lambda b, h: (b, 0, h, 0),
-                         memory_space=pltpu.VMEM),
-            row_spec, row_spec,
-        ] + ([row_spec] if with_disp else []),
-        out_shape=[
-            # reconstruction in the INPUT dtype (bf16 in production): its
-            # only consumer is the perceptual net, which runs bf16 anyway;
-            # halves the largest output write and its cotangent traffic
-            jax.ShapeDtypeStruct((B, 3, H, W), src_t.dtype),
-            row_shape, row_shape,
-        ] + ([row_shape] if with_disp else []),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             # full-plane blocks + double buffering exceed the default 16M
             # scoped budget; v5e has 128M physical VMEM per core
@@ -986,12 +963,15 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
     ),
 )
 def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
-                   g_rgb, g_nll, g_nla, g_disp=None,
+                   stats, rgb, g_rgb, g_nll, g_nla, g_disp=None,
                    pad: int = 0, rows: int = 8, interpret: bool = False,
                    n_vertical: int = 0, image_grads: bool = True,
                    with_disp: bool = False, gp_taps: int = 0):
     """Pallas backward kernel invocation (adjoint of sweep_forward).
 
+    ``stats``/``rgb`` are the forward's ``with_stats`` output and rgb
+    output (VJP residuals — the single-pass backward reads the softmax
+    statistics instead of recomputing them).
     ``image_grads=False`` (the train-step configuration — images are
     never differentiated) skips the d_src/d_tgt outputs and the automask
     adjoint inside the kernel.  d_log/d_sig are emitted in the INPUT
@@ -1000,7 +980,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     """
     d_src, d_tgt, d_log, d_sig, d_shift = _bwd_call(
         src_t, target_t, _interleave_ls(logits_t, sigma_t), shift, mask,
-        g_rgb, g_nll, g_nla, g_disp, pad=pad, rows=rows,
+        stats, rgb, g_rgb, g_nll, g_nla, g_disp, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
         packed_grads=False,
@@ -1023,7 +1003,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     ),
 )
 def sweep_backward_packed(src_t, target_t, ls, shift, mask,
-                          g_rgb, g_nll, g_nla, g_disp=None,
+                          stats, rgb, g_rgb, g_nll, g_nla, g_disp=None,
                           pad: int = 0, rows: int = 8,
                           interpret: bool = False, n_vertical: int = 0,
                           image_grads: bool = True, with_disp: bool = False,
@@ -1033,7 +1013,8 @@ def sweep_backward_packed(src_t, target_t, ls, shift, mask,
     same shape (d_logits at 2n, d_sigma at 2n+1), so the production
     adjoint repack to the s2d decoder heads is a single transpose."""
     d_src, d_tgt, d_ls, d_shift = _bwd_call(
-        src_t, target_t, ls, shift, mask, g_rgb, g_nll, g_nla, g_disp,
+        src_t, target_t, ls, shift, mask, stats, rgb,
+        g_rgb, g_nll, g_nla, g_disp,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
         packed_grads=True,
@@ -1047,7 +1028,8 @@ def sweep_backward_packed(src_t, target_t, ls, shift, mask,
     )
 
 
-def _bwd_call(src_t, target_t, ls, shift, mask, g_rgb, g_nll, g_nla, g_disp,
+def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
+              g_rgb, g_nll, g_nla, g_disp,
               *, pad, rows, interpret, n_vertical, image_grads, with_disp,
               gp_taps, packed_grads):
     assert pad > 0, "pad is required (>= max |shift| + 1)"
@@ -1086,8 +1068,9 @@ def _bwd_call(src_t, target_t, ls, shift, mask, g_rgb, g_nll, g_nla, g_disp,
     )
     row_in_spec = pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
                                memory_space=pltpu.VMEM)
-    ct_args = [g_rgb, g_nll, g_nla]
-    ct_specs = [vspec((3, R), W), row_in_spec, row_in_spec]
+    ct_args = [stats, rgb, g_rgb, g_nll, g_nla]
+    ct_specs = [vspec((_n_stats(with_disp), R), W), vspec((3, R), W),
+                vspec((3, R), W), row_in_spec, row_in_spec]
     if with_disp:
         ct_args.append(g_disp)
         ct_specs.append(row_in_spec)
@@ -1112,16 +1095,10 @@ def _bwd_call(src_t, target_t, ls, shift, mask, g_rgb, g_nll, g_nla, g_disp,
             jax.ShapeDtypeStruct((B, N, H, 128), F32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((N, R, W), F32),       # l
-            pltpu.VMEM((N, R, W), F32),       # s
-            pltpu.VMEM((N, R, W), ls.dtype),  # ld (tap diffs)
-            pltpu.VMEM((N, R, W), ls.dtype),  # sd
-            pltpu.VMEM((N, 3, R, W), src_t.dtype),    # c (see pass2)
-            pltpu.VMEM((N, 3, R, W), src_t.dtype),    # cd
             pltpu.VMEM((3, R, WG), F32),      # reverse-window staging
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(shift, mask, src_p, target_t, ls_p, *ct_args)
@@ -1456,17 +1433,19 @@ def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
     out = sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                         pad=pad, rows=rows, interpret=interpret,
                         n_vertical=n_vertical, with_disp=with_disp,
-                        gp_taps=gp_taps)
-    return out, (src_t, target_t, logits_t, sigma_t, shift, mask)
+                        gp_taps=gp_taps, with_stats=True)
+    out, stats = out[:-1], out[-1]
+    return out, (src_t, target_t, logits_t, sigma_t, shift, mask, stats,
+                 out[0])
 
 
 def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
              gp_taps, res, cts):
-    src_t, target_t, logits_t, sigma_t, shift, mask = res
+    src_t, target_t, logits_t, sigma_t, shift, mask, stats, rgb = res
     cts = [x.astype(F32) for x in cts]
     g_disp = cts[3] if with_disp else None
     return sweep_backward(
-        src_t, target_t, logits_t, sigma_t, shift, mask,
+        src_t, target_t, logits_t, sigma_t, shift, mask, stats, rgb,
         cts[0], cts[1], cts[2], g_disp, pad=pad, rows=rows,
         interpret=interpret,
         n_vertical=n_vertical, image_grads=image_grads, with_disp=with_disp,
@@ -1504,18 +1483,20 @@ def _fpsp_fwd(src_t, target_t, ls, shift, mask, pad, interpret, n_vertical,
     out = sweep_forward_packed(
         src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps,
+        gp_taps=gp_taps, with_stats=True,
     )
-    return out, (src_t, target_t, ls, shift, mask)
+    out, stats = out[:-1], out[-1]
+    return out, (src_t, target_t, ls, shift, mask, stats, out[0])
 
 
 def _fpsp_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
               gp_taps, res, cts):
-    src_t, target_t, ls, shift, mask = res
+    src_t, target_t, ls, shift, mask, stats, rgb = res
     cts = [x.astype(F32) for x in cts]
     g_disp = cts[3] if with_disp else None
     return sweep_backward_packed(
-        src_t, target_t, ls, shift, mask, cts[0], cts[1], cts[2], g_disp,
+        src_t, target_t, ls, shift, mask, stats, rgb,
+        cts[0], cts[1], cts[2], g_disp,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
     )
