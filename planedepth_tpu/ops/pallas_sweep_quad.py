@@ -61,7 +61,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from planedepth_tpu.ops.pallas_sweep import _online_e, _pad_w
+from planedepth_tpu.ops.pallas_sweep import _online_e
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -73,6 +73,22 @@ def _quad_pad(pad: int, gp_taps: int) -> int:
     ground-plane static tap grid."""
     jt = (gp_taps + 3) // 2 if gp_taps else 0
     return (((pad + 1) // 2 + jt + 2 + 127) // 128) * 128
+
+
+def _quad_lpad(pad2: int, nonneg: bool) -> int:
+    """HBM left padding of the kernel operands.  Production shifts are
+    nonnegative disparities (train/step.py fused_stereo_losses: target
+    'r' reads source at x + disp), so every sampling window starts at
+    offset >= 0 and a left halo would never be read — ``nonneg`` drops
+    it (~20% of the padded ls buffer).  Signed mode keeps the symmetric
+    pad."""
+    return 0 if nonneg else pad2
+
+
+def _pad_lr(x, lpad: int, rpad: int):
+    """Zero-pad the trailing W axis asymmetrically."""
+    cfg = [(0, 0)] * (x.ndim - 1) + [(lpad, rpad)]
+    return jnp.pad(x, cfg)
 
 
 def _mk_q(shift_ref, mask_ref, src_ref, ls_ref, Rq, W2, pad2, n2, gp_taps):
@@ -478,6 +494,7 @@ def _bwd_kernel_q(
     rows_q: int,
     width_q: int,
     pad_q: int,
+    gpad_q: int,
     with_disp: bool = False,
     gp_taps: int = 0,
 ):
@@ -502,10 +519,13 @@ def _bwd_kernel_q(
     dls_ref, dshift_ref, g_scr = refs
     N, NV, Rq, W2 = n_planes, n_vertical, rows_q, width_q
     n2 = 2 * N
-    pad2 = pad_q
+    # pad_q: left offset of the W2 center in the HBM operands (0 in the
+    # production nonneg mode); gpad_q: left reach of the VMEM staging
+    # scratch (always the full pad2 — reverse windows read [gpad - h...))
+    pad2 = gpad_q
     WQ = W2 + 128
 
-    sm = _mk_q(shift_ref, mask_ref, src_ref, ls_ref, Rq, W2, pad2, n2,
+    sm = _mk_q(shift_ref, mask_ref, src_ref, ls_ref, Rq, W2, pad_q, n2,
                gp_taps)
     if N > NV:
         assert gp_taps > 0, "quad kernel requires gp_taps for ground planes"
@@ -707,12 +727,13 @@ def _bwd_kernel_q(
 @functools.partial(
     jax.jit,
     static_argnames=("pad", "rows", "interpret", "n_vertical", "with_disp",
-                     "gp_taps", "with_stats"),
+                     "gp_taps", "with_stats", "nonneg"),
 )
 def sweep_forward_quad(srcq, tgtq, lsq, shift2, mask2,
                        pad: int, rows: int = 16, interpret: bool = False,
                        n_vertical: int = 0, with_disp: bool = False,
-                       gp_taps: int = 0, with_stats: bool = False):
+                       gp_taps: int = 0, with_stats: bool = False,
+                       nonneg: bool = False):
     """Quad forward kernel invocation.
 
     Args:
@@ -726,6 +747,9 @@ def sweep_forward_quad(srcq, tgtq, lsq, shift2, mask2,
       with_stats: additionally emit the per-phase softmax statistics
         ``(B, 4*_n_stats, H/2, W/2)`` f32 consumed by the single-pass
         backward (appended as the LAST output).
+      nonneg: shifts are guaranteed >= 0 (production disparities) — the
+        operands get no left W halo (~20% less padded-buffer traffic)
+        and shifts are clipped at 0.
 
     Returns: (rgbq (B, 12, H/2, W/2) input-dtype, nll (B, 4, H/2, W/2)
     f32, nll_auto, [disp] [, stats]) — all phase-split, ph = 2*py + px.
@@ -733,7 +757,7 @@ def sweep_forward_quad(srcq, tgtq, lsq, shift2, mask2,
     return _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, pad=pad, rows=rows,
                        interpret=interpret, n_vertical=n_vertical,
                        with_disp=with_disp, gp_taps=gp_taps,
-                       with_stats=with_stats)
+                       with_stats=with_stats, nonneg=nonneg)
 
 
 def _quad_dims(srcq, lsq, rows):
@@ -745,10 +769,10 @@ def _quad_dims(srcq, lsq, rows):
     return B, Hq, W2, N, Rq
 
 
-def _clip_shift_q(shift2, pad2, gp_taps):
+def _clip_shift_q(shift2, pad2, gp_taps, nonneg=False):
     jt = (gp_taps + 3) // 2 if gp_taps else 0
     lim = 2.0 * (pad2 - jt) - 6.0
-    return jnp.clip(shift2, -lim, lim)
+    return jnp.clip(shift2, 0.0 if nonneg else -lim, lim)
 
 
 def _quad_slack(pad2: int, gp_taps: int) -> int:
@@ -759,24 +783,37 @@ def _quad_slack(pad2: int, gp_taps: int) -> int:
     width.  Vertical windows (width W2 + 128): q <= 2*pad2 - 128 (pad2
     is a 128 multiple), end <= W2 + 2*pad2 -> slack 0.  Ground-plane tap
     windows (width W2 + 256): q <= 2*pad2 - 128, end <= W2 + 2*pad2 +
-    128 -> slack 128."""
+    128 -> slack 128.  The same bounds hold with the nonneg left pad of
+    0: every anchor h is then >= 0 and <= pad2 - jt - 3 < pad2, so
+    q <= lpad + pad2 - 128 and the identical slack covers the window
+    end relative to W2 + lpad + pad2."""
     return 128 if gp_taps else 0
 
 
 def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
-                n_vertical, with_disp, gp_taps, with_stats=False):
-    B, Hq, W2, N, Rq = _quad_dims(srcq, lsq, rows)
+                n_vertical, with_disp, gp_taps, with_stats=False,
+                nonneg=False, pre_padded=False):
+    # pre_padded: srcq/lsq already carry the (lpad, pad2 + slack) W halo
+    # (the custom VJP pads ONCE in its fwd and saves the padded operands
+    # as residuals, so the backward never re-pads); tgtq is never padded
+    # and supplies the logical W2.
+    B, Hq, W2, N, Rq = _quad_dims(tgtq, lsq, rows)
     pad2 = _quad_pad(pad, gp_taps)
     slack = _quad_slack(pad2, gp_taps)
-    W2p = W2 + 2 * pad2 + slack
-    shift2 = _clip_shift_q(shift2, pad2, gp_taps)
+    lpad = _quad_lpad(pad2, nonneg)
+    W2p = W2 + lpad + pad2 + slack
+    shift2 = _clip_shift_q(shift2, pad2, gp_taps, nonneg)
 
-    src_p = _pad_w(srcq, pad2, slack)
-    ls_p = _pad_w(lsq, pad2, slack)
+    if pre_padded:
+        src_p, ls_p = srcq, lsq
+        assert ls_p.shape[-1] == W2p, (ls_p.shape, W2p)
+    else:
+        src_p = _pad_lr(srcq, lpad, pad2 + slack)
+        ls_p = _pad_lr(lsq, lpad, pad2 + slack)
 
     kernel = functools.partial(
         _fwd_kernel_q, n_planes=N, n_vertical=n_vertical, rows_q=Rq,
-        width_q=W2, pad_q=pad2, with_disp=with_disp, gp_taps=gp_taps,
+        width_q=W2, pad_q=lpad, with_disp=with_disp, gp_taps=gp_taps,
         with_stats=with_stats,
     )
     smem_spec = pl.BlockSpec((None, 2, Rq, N), lambda b, h: (b, 0, h, 0),
@@ -819,37 +856,45 @@ def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
 @functools.partial(
     jax.jit,
     static_argnames=("pad", "rows", "interpret", "n_vertical", "with_disp",
-                     "gp_taps"),
+                     "gp_taps", "nonneg", "pre_padded"),
 )
 def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2, stats, rgb,
                         g_rgb, g_nll, g_disp=None,
                         pad: int = 0, rows: int = 16,
                         interpret: bool = False, n_vertical: int = 0,
-                        with_disp: bool = False, gp_taps: int = 0):
+                        with_disp: bool = False, gp_taps: int = 0,
+                        nonneg: bool = False, pre_padded: bool = False):
     """Quad backward kernel invocation (production: image_grads=False).
 
     ``stats``/``rgb`` are the forward's with_stats output and rgb output
     (residuals).  nll_auto's cotangent is not an argument: its only live
     adjoint path is into the images (pi/sigma are treated as constants
     there, reference trainer.py:733), and the quad path never
-    differentiates the batch images.
+    differentiates the batch images.  With ``pre_padded``, srcq/lsq are
+    the forward's already-padded operands (VJP residuals) — no re-pad.
 
     Returns (d_lsq (B, 4*2N, H/2, W/2) lsq.dtype, d_shift2 (B, 2, H/2, N)).
     """
     assert pad > 0, "pad is required (>= max |shift| + 1)"
-    B, Hq, W2, N, Rq = _quad_dims(srcq, lsq, rows)
+    B, Hq, W2, N, Rq = _quad_dims(tgtq, lsq, rows)
     pad2 = _quad_pad(pad, gp_taps)
     slack = _quad_slack(pad2, gp_taps)
-    W2p = W2 + 2 * pad2 + slack
+    lpad = _quad_lpad(pad2, nonneg)
+    W2p = W2 + lpad + pad2 + slack
     WG = W2 + 2 * pad2 + slack
-    shift2 = _clip_shift_q(shift2, pad2, gp_taps)
+    shift2 = _clip_shift_q(shift2, pad2, gp_taps, nonneg)
 
-    src_p = _pad_w(srcq, pad2, slack)
-    ls_p = _pad_w(lsq, pad2, slack)
+    if pre_padded:
+        src_p, ls_p = srcq, lsq
+        assert ls_p.shape[-1] == W2p, (ls_p.shape, W2p)
+    else:
+        src_p = _pad_lr(srcq, lpad, pad2 + slack)
+        ls_p = _pad_lr(lsq, lpad, pad2 + slack)
 
     kernel = functools.partial(
         _bwd_kernel_q, n_planes=N, n_vertical=n_vertical, rows_q=Rq,
-        width_q=W2, pad_q=pad2, with_disp=with_disp, gp_taps=gp_taps,
+        width_q=W2, pad_q=lpad, gpad_q=pad2, with_disp=with_disp,
+        gp_taps=gp_taps,
     )
     smem_spec = pl.BlockSpec((None, 2, Rq, N), lambda b, h: (b, 0, h, 0),
                              memory_space=pltpu.SMEM)
@@ -897,11 +942,12 @@ def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2, stats, rgb,
     return d_ls.astype(lsq.dtype), d_shift2.astype(shift2.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def fused_plane_sweep_quad(srcq, tgtq, lsq, shift2, mask2,
                            pad: int, interpret: bool = False,
                            n_vertical: int = 0, with_disp: bool = False,
-                           rows: int = 16, gp_taps: int = 0):
+                           rows: int = 16, gp_taps: int = 0,
+                           nonneg: bool = False):
     """Quad plane-sweep: Pallas forward + hand-derived phase-split VJP.
 
     The production path for the s2d decoder tail: zero full-resolution
@@ -911,33 +957,44 @@ def fused_plane_sweep_quad(srcq, tgtq, lsq, shift2, mask2,
     return sweep_forward_quad(
         srcq, tgtq, lsq, shift2, mask2, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps,
+        gp_taps=gp_taps, nonneg=nonneg,
     )
 
 
 def _fpsq_fwd(srcq, tgtq, lsq, shift2, mask2, pad, interpret, n_vertical,
-              with_disp, rows, gp_taps):
-    out = sweep_forward_quad(
-        srcq, tgtq, lsq, shift2, mask2, pad=pad, rows=rows,
+              with_disp, rows, gp_taps, nonneg):
+    # Pad ONCE: the padded operands are saved as residuals so the
+    # backward never re-materializes the ~2x ls halo buffer.
+    pad2 = _quad_pad(pad, gp_taps)
+    lpad = _quad_lpad(pad2, nonneg)
+    rpad = pad2 + _quad_slack(pad2, gp_taps)
+    src_p = _pad_lr(srcq, lpad, rpad)
+    ls_p = _pad_lr(lsq, lpad, rpad)
+    out = _fwd_call_q(
+        src_p, tgtq, ls_p, shift2, mask2, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps, with_stats=True,
+        gp_taps=gp_taps, with_stats=True, nonneg=nonneg, pre_padded=True,
     )
     out, stats = out[:-1], out[-1]
-    return out, (srcq, tgtq, lsq, shift2, mask2, stats, out[0])
+    return out, (src_p, tgtq, ls_p, shift2, mask2, stats, out[0])
 
 
-def _fpsq_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps, res,
-              cts):
-    srcq, tgtq, lsq, shift2, mask2, stats, rgb = res
+def _fpsq_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps, nonneg,
+              res, cts):
+    src_p, tgtq, ls_p, shift2, mask2, stats, rgb = res
     # cts[2] (nll_auto) is dropped: pi/sigma are constants in the automask
     # branch (reference trainer.py:733) and images get no gradient here.
     g_disp = cts[3] if with_disp else None
     d_ls, d_shift2 = sweep_backward_quad(
-        srcq, tgtq, lsq, shift2, mask2, stats, rgb, cts[0], cts[1], g_disp,
-        pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
-        with_disp=with_disp, gp_taps=gp_taps,
+        src_p, tgtq, ls_p, shift2, mask2, stats, rgb, cts[0], cts[1],
+        g_disp, pad=pad, rows=rows, interpret=interpret,
+        n_vertical=n_vertical, with_disp=with_disp, gp_taps=gp_taps,
+        nonneg=nonneg, pre_padded=True,
     )
-    return (jnp.zeros_like(srcq), jnp.zeros_like(tgtq), d_ls, d_shift2,
+    W2 = tgtq.shape[-1]
+    B, _, Hq, _ = tgtq.shape
+    return (jnp.zeros((B, 12, Hq, W2), src_p.dtype),
+            jnp.zeros_like(tgtq), d_ls, d_shift2,
             jnp.zeros_like(mask2))
 
 

@@ -415,12 +415,13 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         tgtq = psq.s2d_image(target, in_dtype)
         # sigma_head INSIDE the shard_map body: the select fuses with the
         # kernel operand pad there (outside it, the sharding boundary
-        # forces a standalone full-res pass)
+        # forces a standalone full-res pass).  nonneg: shifts are
+        # disparities (>= 0), so the kernel operands skip the left halo.
         sweep = shard_kernel(
             lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad(
                 s_, t_, sigma_head(l_, 1), sh_, m_,
                 pad, interpret, n_vertical, with_disp,
-                2 * cfg.sweep_rows, cfg.sweep_gp_taps,
+                2 * cfg.sweep_rows, cfg.sweep_gp_taps, True,
             ),
             in_rows=(2, 2, 2, 2, 2),
             out_rows=(2, 2, 2) + ((2,) if with_disp else ()),

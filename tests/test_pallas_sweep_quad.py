@@ -26,7 +26,7 @@ def _pack_ls(ls):
     return x.transpose(0, 3, 5, 1, 2, 4).reshape(B, 4 * C, H // 2, W // 2)
 
 
-def _mk_data(B=2, H=16, W=64, N=6, NV=4, seed=0):
+def _mk_data(B=2, H=16, W=64, N=6, NV=4, seed=0, nonneg=False):
     rng = np.random.RandomState(seed)
     src = (rng.randn(B, 3, H, W) * 0.3 + 0.5).astype(np.float32)
     tgt = (rng.randn(B, 3, H, W) * 0.3 + 0.5).astype(np.float32)
@@ -37,9 +37,10 @@ def _mk_data(B=2, H=16, W=64, N=6, NV=4, seed=0):
     # vertical planes: row-constant shifts; ground planes: row-linear
     # with block spread within GP_TAPS
     shift = np.zeros((B, H, N), np.float32)
-    shift[:, :, :NV] = rng.uniform(-10, 10, (B, 1, NV))
+    lo = 0 if nonneg else -10
+    shift[:, :, :NV] = rng.uniform(lo, 10, (B, 1, NV))
     rows = np.arange(H, dtype=np.float32)[None, :, None]
-    base = rng.uniform(-6, 6, (B, 1, N - NV))
+    base = rng.uniform(0 if nonneg else -6, 6, (B, 1, N - NV))
     slope = rng.uniform(0.05, 0.4, (B, 1, N - NV))
     shift[:, :, NV:] = base + slope * rows
     # masks: vertical planes row-constant (the v1 kernel's vec path reads
@@ -59,12 +60,13 @@ def _v1(src, tgt, ls, shift, mask, nv, with_disp):
     )
 
 
-def _quad(src, tgt, ls, shift, mask, nv, with_disp):
+def _quad(src, tgt, ls, shift, mask, nv, with_disp, nonneg=False):
     src_q = q.s2d_image(jnp.moveaxis(src, 1, -1))
     tgt_q = q.s2d_image(jnp.moveaxis(tgt, 1, -1))
     out = q.fused_plane_sweep_quad(
         src_q, tgt_q, _pack_ls(ls), q.split_rows(shift),
         q.split_rows(mask), PAD, True, nv, with_disp, ROWS, GP_TAPS,
+        nonneg,
     )
     rgb = jnp.moveaxis(q.d2s_quad(out[0]), -1, 1)
     nll = q.d2s_quad(out[1])[..., 0]
@@ -124,6 +126,78 @@ def test_grad_parity(with_disp):
         np.testing.assert_allclose(
             np.asarray(gg) / scale, np.asarray(rg) / scale,
             rtol=5e-5, atol=5e-5, err_msg=name,
+        )
+
+
+@pytest.mark.parametrize("with_disp", [False, True])
+def test_nonneg_parity(with_disp):
+    """The production mode (nonneg=True: zero left halo, pad-once
+    residuals) must match v1 on nonnegative disparities — values AND
+    gradients."""
+    N, NV = 6, 4
+    src, tgt, ls, shift, mask = _mk_data(N=N, NV=NV, seed=11, nonneg=True)
+    assert float(jnp.min(shift)) >= 0.0
+    rng = np.random.RandomState(5)
+    ws = [jnp.asarray(rng.randn(*np.asarray(o).shape).astype(np.float32))
+          for o in _v1(src, tgt, ls, shift, mask, NV, with_disp)]
+
+    def loss_v1(ls_, shift_):
+        outs = _v1(src, tgt, ls_, shift_, mask, NV, with_disp)
+        return sum(jnp.sum(w * o) for w, o in zip(ws, outs))
+
+    def loss_q(ls_, shift_):
+        outs = _quad(src, tgt, ls_, shift_, mask, NV, with_disp,
+                     nonneg=True)
+        return sum(jnp.sum(w * o) for w, o in zip(ws, outs))
+
+    v_ref, (dls_ref, dsh_ref) = jax.value_and_grad(
+        loss_v1, argnums=(0, 1))(ls, shift)
+    v_got, (dls_got, dsh_got) = jax.value_and_grad(
+        loss_q, argnums=(0, 1))(ls, shift)
+
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    for name, rg, gg in (("d_ls", dls_ref, dls_got),
+                         ("d_shift", dsh_ref, dsh_got)):
+        scale = max(float(jnp.max(jnp.abs(rg))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gg) / scale, np.asarray(rg) / scale,
+            rtol=5e-5, atol=5e-5, err_msg=name,
+        )
+
+
+def test_nonneg_window_extent_boundary():
+    """nonneg mode at the positive clip limit: windows reach the exact
+    right edge of the asymmetrically padded buffer."""
+    from planedepth_tpu.ops.pallas_sweep_quad import _clip_shift_q, _quad_pad
+
+    B, H, W, N, NV = 2, 16, 64, 6, 4
+    src, tgt, ls, _, mask = _mk_data(B=B, H=H, W=W, N=N, NV=NV)
+
+    pad2 = _quad_pad(PAD, GP_TAPS)
+    lim = float(_clip_shift_q(jnp.full((1,), 1e9), pad2, GP_TAPS)[0])
+    shift = np.zeros((B, H, N), np.float32)
+    shift[:, :, :NV] = lim - 1.5
+    rows = np.arange(H, dtype=np.float32)[None, :, None]
+    shift[:, :, NV:] = lim - 1.5 - 0.3 * (H - 1 - rows)
+    shift_j = jnp.asarray(shift)
+
+    pad_v1 = int(lim) + 4     # v1 clip (pad-2) must not bind
+    ref = fused_plane_sweep_packed(
+        src, tgt, ls, shift_j, jnp.asarray(mask), pad_v1, True, NV,
+        False, False, ROWS, GP_TAPS,
+    )
+    src_q = q.s2d_image(jnp.moveaxis(src, 1, -1))
+    tgt_q = q.s2d_image(jnp.moveaxis(tgt, 1, -1))
+    out = q.fused_plane_sweep_quad(
+        src_q, tgt_q, _pack_ls(ls), q.split_rows(shift_j),
+        q.split_rows(mask), PAD, True, NV, False, ROWS, GP_TAPS, True,
+    )
+    got = (jnp.moveaxis(q.d2s_quad(out[0]), -1, 1),
+           _d2s_scalar(out[1]), _d2s_scalar(out[2]))
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=f"output {i}",
         )
 
 
