@@ -871,17 +871,23 @@ def sweep_forward_packed(src_t, target_t, ls, shift, mask,
     )
 
 
+def _v1_geom(pad: int, gp_taps: int):
+    """(lane-rounded pad, roll slack) — shared by fwd/bwd calls and the
+    pad-once VJPs."""
+    return ((pad + 127) // 128) * 128, (256 if gp_taps else 128)
+
+
 def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
-              n_vertical, with_disp, gp_taps, with_stats=False):
-    B, _, H, W = src_t.shape
+              n_vertical, with_disp, gp_taps, with_stats=False,
+              pre_padded=False):
+    B, _, H, W = target_t.shape
     N = ls.shape[1] // 2
     R = rows
     assert H % R == 0, (H, R)
     # pad to a multiple of 128 so static slices stay lane-aligned, +128
     # window slack for the dynamic lane roll (see _fwd_kernel.window);
     # the ground-plane taps path needs 256 (WT windows)
-    pad = ((pad + 127) // 128) * 128
-    slack = 256 if gp_taps else 128
+    pad, slack = _v1_geom(pad, gp_taps)
     Wp = W + 2 * pad + slack
     # backstop: keep the dynamic slice start within the padded buffer.
     # NOTE this substitutes the sample at the clamped offset, NOT the
@@ -895,8 +901,12 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
     # at the image bottom.
     shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
-    src_p = _pad_w(src_t, pad, slack)
-    ls_p = _pad_w(ls, pad, slack)
+    if pre_padded:
+        src_p, ls_p = src_t, ls
+        assert ls_p.shape[-1] == Wp, (ls_p.shape, Wp)
+    else:
+        src_p = _pad_w(src_t, pad, slack)
+        ls_p = _pad_w(ls, pad, slack)
 
     kernel = functools.partial(
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
@@ -1031,19 +1041,22 @@ def sweep_backward_packed(src_t, target_t, ls, shift, mask,
 def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
               g_rgb, g_nll, g_nla, g_disp,
               *, pad, rows, interpret, n_vertical, image_grads, with_disp,
-              gp_taps, packed_grads):
+              gp_taps, packed_grads, pre_padded=False):
     assert pad > 0, "pad is required (>= max |shift| + 1)"
-    B, _, H, W = src_t.shape
+    B, _, H, W = target_t.shape
     N = ls.shape[1] // 2
     R = rows
-    pad = ((pad + 127) // 128) * 128
-    slack = 256 if gp_taps else 128
+    pad, slack = _v1_geom(pad, gp_taps)
     Wp = W + 2 * pad + slack
     WG = W + 2 * pad + slack
     shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
 
-    src_p = _pad_w(src_t, pad, slack)
-    ls_p = _pad_w(ls, pad, slack)
+    if pre_padded:
+        src_p, ls_p = src_t, ls
+        assert ls_p.shape[-1] == Wp, (ls_p.shape, Wp)
+    else:
+        src_p = _pad_w(src_t, pad, slack)
+        ls_p = _pad_w(ls, pad, slack)
 
     kernel = functools.partial(
         _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
@@ -1108,7 +1121,9 @@ def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
             target_t.dtype)
         outs = outs[2:]
     else:
-        d_src = jnp.zeros_like(src_t)
+        # target_t shape == UNPADDED src shape (src_t may be the padded
+        # pre_padded residual)
+        d_src = jnp.zeros(target_t.shape, src_t.dtype)
         d_tgt = jnp.zeros_like(target_t)
     *head_grads, d_shift_b = outs
     d_shift = jnp.moveaxis(d_shift_b[..., 0], 1, -1)       # (B, H, N)
@@ -1430,27 +1445,34 @@ def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
 
 def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
              interpret, n_vertical, image_grads, with_disp, rows, gp_taps):
-    out = sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
-                        pad=pad, rows=rows, interpret=interpret,
-                        n_vertical=n_vertical, with_disp=with_disp,
-                        gp_taps=gp_taps, with_stats=True)
-    out, stats = out[:-1], out[-1]
-    return out, (src_t, target_t, logits_t, sigma_t, shift, mask, stats,
-                 out[0])
+    # pad ONCE: the padded operands are saved as residuals so the
+    # backward never re-materializes the ls/src halo buffers
+    padr, slack = _v1_geom(pad, gp_taps)
+    src_p = _pad_w(src_t, padr, slack)
+    ls_p = _pad_w(_interleave_ls(logits_t, sigma_t), padr, slack)
+    out = _fwd_call(src_p, target_t, ls_p, shift, mask,
+                    pad=pad, rows=rows, interpret=interpret,
+                    n_vertical=n_vertical, with_disp=with_disp,
+                    gp_taps=gp_taps, with_stats=True, pre_padded=True)
+    out, stats = tuple(out[:-1]), out[-1]
+    return out, (src_p, target_t, ls_p, shift, mask, stats, out[0])
 
 
 def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
              gp_taps, res, cts):
-    src_t, target_t, logits_t, sigma_t, shift, mask, stats, rgb = res
+    src_p, target_t, ls_p, shift, mask, stats, rgb = res
+    ldt = sdt = ls_p.dtype       # logits/sigma arrive interleave-promoted
     cts = [x.astype(F32) for x in cts]
     g_disp = cts[3] if with_disp else None
-    return sweep_backward(
-        src_t, target_t, logits_t, sigma_t, shift, mask, stats, rgb,
+    d_src, d_tgt, d_log, d_sig, d_shift = _bwd_call(
+        src_p, target_t, ls_p, shift, mask, stats, rgb,
         cts[0], cts[1], cts[2], g_disp, pad=pad, rows=rows,
         interpret=interpret,
         n_vertical=n_vertical, image_grads=image_grads, with_disp=with_disp,
-        gp_taps=gp_taps,
+        gp_taps=gp_taps, packed_grads=False, pre_padded=True,
     )
+    return (d_src, d_tgt, d_log.astype(ldt), d_sig.astype(sdt),
+            d_shift.astype(shift.dtype), jnp.zeros_like(mask))
 
 
 fused_plane_sweep.defvjp(_fps_fwd, _fps_bwd)
@@ -1480,26 +1502,32 @@ def fused_plane_sweep_packed(src_t, target_t, ls, shift, mask,
 
 def _fpsp_fwd(src_t, target_t, ls, shift, mask, pad, interpret, n_vertical,
               image_grads, with_disp, rows, gp_taps):
-    out = sweep_forward_packed(
-        src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
-        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps, with_stats=True,
-    )
-    out, stats = out[:-1], out[-1]
-    return out, (src_t, target_t, ls, shift, mask, stats, out[0])
+    # pad ONCE (see _fps_fwd)
+    padr, slack = _v1_geom(pad, gp_taps)
+    src_p = _pad_w(src_t, padr, slack)
+    ls_p = _pad_w(ls, padr, slack)
+    out = _fwd_call(src_p, target_t, ls_p, shift, mask,
+                    pad=pad, rows=rows, interpret=interpret,
+                    n_vertical=n_vertical, with_disp=with_disp,
+                    gp_taps=gp_taps, with_stats=True, pre_padded=True)
+    out, stats = tuple(out[:-1]), out[-1]
+    return out, (src_p, target_t, ls_p, shift, mask, stats, out[0])
 
 
 def _fpsp_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
               gp_taps, res, cts):
-    src_t, target_t, ls, shift, mask, stats, rgb = res
+    src_p, target_t, ls_p, shift, mask, stats, rgb = res
     cts = [x.astype(F32) for x in cts]
     g_disp = cts[3] if with_disp else None
-    return sweep_backward_packed(
-        src_t, target_t, ls, shift, mask, stats, rgb,
+    d_src, d_tgt, d_ls, d_shift = _bwd_call(
+        src_p, target_t, ls_p, shift, mask, stats, rgb,
         cts[0], cts[1], cts[2], g_disp,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
+        packed_grads=True, pre_padded=True,
     )
+    return (d_src, d_tgt, d_ls.astype(ls_p.dtype),
+            d_shift.astype(shift.dtype), jnp.zeros_like(mask))
 
 
 fused_plane_sweep_packed.defvjp(_fpsp_fwd, _fpsp_bwd)
