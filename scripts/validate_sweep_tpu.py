@@ -116,10 +116,11 @@ def check_quad(n_vertical=49, gp_taps=8, rows=8, interpret=False):
             B, 8 * N, H // 2, W // 2)
 
     def quad_full(ls_, sh_):
+        # nonneg=True: the production mode (shifts here are uniform >= 0)
         o = q.fused_plane_sweep_quad(
             srcq, tgtq, pack_ls(ls_), q.split_rows(sh_),
             q.split_rows(mask), pad, interpret, n_vertical, False,
-            rows, gp_taps)
+            rows, gp_taps, True)
         return (jnp.moveaxis(q.d2s_quad(o[0]), -1, 1),
                 q.d2s_quad(o[1])[..., 0], q.d2s_quad(o[2])[..., 0])
 
@@ -198,12 +199,78 @@ def timeit_shapes(B=8, n_vertical=49, gp_taps=8, rows=8):
     print(f"fwd+bwd: {dt*1e3:.2f} ms")
 
 
+def timeit_quad(B=8, n_vertical=49, gp_taps=8, rows=8):
+    """Time the PRODUCTION (quad, nonneg, with_disp) kernels at the
+    stage-1 HR shape — fwd alone and fwd+grad through the custom VJP."""
+    from planedepth_tpu.ops import pallas_sweep_quad as q
+
+    H, W, N = 384, 1280, 63
+    src, tgt, log, sig, shift, mask = make(
+        B, H, W, N, dtype=jnp.bfloat16, n_vertical=n_vertical,
+        max_shift=300.0)
+    pad = 328
+    srcq = q.s2d_image(jnp.moveaxis(src, 1, -1))
+    tgtq = q.s2d_image(jnp.moveaxis(tgt, 1, -1))
+    ls = jnp.stack([log, sig], 2).reshape(B, 2 * N, H, W)
+    lsq = jnp.asarray(np.ascontiguousarray(
+        np.asarray(ls, np.float32).reshape(B, 2 * N, H // 2, 2, W // 2, 2)
+        .transpose(0, 3, 5, 1, 2, 4).reshape(B, 8 * N, H // 2, W // 2)
+    )).astype(jnp.bfloat16)
+    sh2, m2 = q.split_rows(shift), q.split_rows(mask)
+
+    def slope(fn, n_small, n_big):
+        def run(n):
+            t0 = time.perf_counter()
+            s = jnp.float32(0)
+            for _ in range(n):
+                s = fn(s * 0)
+            float(jax.device_get(s))
+            return time.perf_counter() - t0
+        d_small = run(n_small)
+        d_big = run(n_big)
+        return (d_big - d_small) / (n_big - n_small)
+
+    @jax.jit
+    def fwd_probe(dummy):
+        l_ = lsq + dummy.astype(lsq.dtype) * 0
+        o = q.sweep_forward_quad(srcq, tgtq, l_, sh2, m2, pad=pad,
+                                 rows=2 * rows, n_vertical=n_vertical,
+                                 with_disp=True, gp_taps=gp_taps,
+                                 nonneg=True)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
+
+    float(jax.device_get(fwd_probe(jnp.float32(0))))           # compile
+    dt = slope(fwd_probe, 2, 10)
+    print(f"quad fwd: {dt*1e3:.2f} ms (B{B} {H}x{W} N{N} nv{n_vertical} "
+          f"gp{gp_taps} r{rows} nonneg with_disp)")
+
+    def loss(dummy, lsq_, sh_):
+        lsq_ = lsq_ + dummy.astype(lsq_.dtype) * 0
+        o = q.fused_plane_sweep_quad(
+            srcq, tgtq, lsq_, sh_, m2, pad, False, n_vertical, True,
+            2 * rows, gp_taps, True)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
+
+    gr = jax.jit(jax.value_and_grad(loss, argnums=(1, 2)))
+
+    def gr_scalar(s):
+        v, g = gr(s, lsq, sh2)
+        return (v + sum(jnp.sum(x.astype(jnp.float32)) for x in
+                        jax.tree_util.tree_leaves(g)))
+
+    float(jax.device_get(gr_scalar(jnp.float32(0))))           # compile
+    dt = slope(gr_scalar, 2, 7)
+    print(f"quad fwd+bwd: {dt*1e3:.2f} ms")
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
         check()
     elif mode == "check_quad":
         check_quad()
+    elif mode == "time_quad":
+        timeit_quad()
     else:
         gp = int(sys.argv[2]) if len(sys.argv) > 2 else 8
         rows = int(sys.argv[3]) if len(sys.argv) > 3 else 8
