@@ -47,7 +47,8 @@ def _enable_compile_cache():
 
 def run_bench(per_step_batch: int, remat: bool = False,
               remat_warp: bool = False, fused: bool = False,
-              n_timed: int = 10, alpha_pc: float = 0.0):
+              n_timed: int = 10, alpha_pc: float = 0.0,
+              pc_remat: bool = True):
     import jax
 
     _enable_compile_cache()
@@ -70,6 +71,7 @@ def run_bench(per_step_batch: int, remat: bool = False,
         # per side every step).  allow_random_pc uses a random-weight
         # VGG19 — identical FLOP/memory cost to the ImageNet one.
         loss=LossConfig(alpha_pc=alpha_pc),
+        pc_remat=pc_remat,
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=True,
@@ -161,6 +163,7 @@ def main():
             pb, remat="remat" in opts, remat_warp="remat_warp" in opts,
             fused="fused" in opts,
             alpha_pc=ALPHA_PC_FULL if "pc" in opts else 0.0,
+            pc_remat="pc_noremat" not in opts,
         )
         print(json.dumps({
             "metric": "train_imgs_per_sec_per_chip_1280x384",
