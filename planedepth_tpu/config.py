@@ -197,6 +197,11 @@ class TrainConfig:
     # perceptual_loss): True trades one extra VGG forward per step for
     # ~2 GB of stored residuals.  Turn off when HBM allows.
     pc_remat: bool = True
+    # on the quad fused path, feed the perceptual VGG the space-to-depth
+    # packed images directly (exact packed conv1_1, models/perceptual.py):
+    # the sweep kernel's phase-split reconstruction and the already-packed
+    # target/source skip their full-res C=3 (~21x lane-padded) round trip
+    pc_s2d: bool = True
     # use the row-constant custom-VJP warp (ops/rowshift.py) on the
     # XLA-gather path (scatter-free backward)
     rowshift_warp: bool = False

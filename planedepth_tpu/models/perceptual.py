@@ -45,17 +45,63 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+class _ConvParams(nn.Module):
+    """Raw 3x3 conv parameters with an nn.Conv-compatible tree
+    ({name: {kernel, bias}}, lecun_normal/zeros inits) so converted
+    torchvision weights load identically on both stem paths."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class Vgg19Features(nn.Module):
-    """(reference layers.py:378-422)"""
+    """(reference layers.py:378-422)
+
+    ``packed=True`` consumes a space-to-depth image ``(B, H/2, W/2, 12)``
+    (channels (py, px, c), models/s2d.py) and runs conv1_1 in the packed
+    domain via the exact ``s2d_conv_kernel`` re-expression — the
+    production quad train step feeds the sweep kernel's phase-split
+    reconstruction (and the already-packed target/source) straight in,
+    so no full-resolution C=3 tensor (stored ~21x lane-padded by XLA)
+    enters the perceptual branch.  Identical parameters serve both paths.
+    """
 
     full: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x) -> List[jnp.ndarray]:
+    def __call__(self, x, packed: bool = False) -> List[jnp.ndarray]:
+        import jax.lax as lax
+
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(IMAGENET_STD, x.dtype)
-        h = ((x - mean) / std).astype(self.dtype)
+        k0, b0 = _ConvParams(64, 3, name="conv_0")()
+        if packed:
+            from planedepth_tpu.models import s2d
+
+            h = ((x - jnp.tile(mean, 4)) / jnp.tile(std, 4)).astype(
+                self.dtype)
+            h = s2d.conv_valid(
+                s2d.phase_pad(h, "zero"), s2d.s2d_conv_kernel(k0),
+                s2d.tile_bias(b0), self.dtype,
+            )
+            h = s2d.depth_to_space(nn.relu(h))
+        else:
+            h = ((x - mean) / std).astype(self.dtype)
+            h = lax.conv_general_dilated(
+                h, k0.astype(self.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b0.astype(self.dtype)
+            h = nn.relu(h)
         feats = []
         conv_idx = 0
         n_slices = 4 if self.full else 3
@@ -63,6 +109,8 @@ class Vgg19Features(nn.Module):
             for item in spec:
                 if item == "pool":
                     h = max_pool_2x2(h)
+                elif conv_idx == 0:
+                    conv_idx += 1        # conv_0 applied above
                 else:
                     h = nn.Conv(
                         item, (3, 3), padding=[(1, 1), (1, 1)],

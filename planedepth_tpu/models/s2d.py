@@ -122,6 +122,11 @@ def phase_pad(x4: jnp.ndarray, mode: str) -> jnp.ndarray:
     """
     B, Hq, Wq, C4 = x4.shape
     C = C4 // 4
+    if mode == "zero":
+        # full-res zero SAME padding: full-res row -1 is phase 1 of packed
+        # row -1, so one packed pixel of zeros covers it exactly (read
+        # slots and don't-care slots are all genuinely zero)
+        return jnp.pad(x4, [(0, 0), (1, 1), (1, 1), (0, 0)])
     x = x4.reshape(B, Hq, Wq, 2, 2, C)         # (b, i, j, py, px, c)
     r = int(mode == "reflect")
     # rows: dims (py at -3)

@@ -44,9 +44,13 @@ def perceptual_loss(
     target: jnp.ndarray,
     source: Optional[jnp.ndarray] = None,
     remat: bool = True,
+    packed: bool = False,
 ) -> jnp.ndarray:
     """VGG/ResNet feature MSE over 3 slices with optional automask min
     (reference trainer.py:672-685).
+
+    ``packed``: inputs are space-to-depth NHWC images (B, H/2, W/2, 12)
+    — the VGG stem consumes them directly (models/perceptual.py).
 
     Only the ``pred`` extraction is checkpointed (when ``remat``): it is
     the sole input carrying a cotangent, and without remat XLA stores its
@@ -58,10 +62,12 @@ def perceptual_loss(
     was a no-op.  ``remat=False`` trades ~2 GB of pred residuals for one
     VGG forward per step.
     """
-    pc_pred = jax.checkpoint(pc_apply) if remat else pc_apply
+    kw = {"packed": True} if packed else {}
+    pc_in = lambda img: pc_apply(img, **kw)   # kw static under checkpoint
+    pc_pred = jax.checkpoint(pc_in) if remat else pc_in
     pred_f = pc_pred(pred)
-    target_f = pc_apply(target)
-    source_f = pc_apply(source) if source is not None else None
+    target_f = pc_in(target)
+    source_f = pc_in(source) if source is not None else None
     loss = 0.0
     for i in range(3):
         l_p = jnp.mean(

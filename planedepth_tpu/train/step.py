@@ -180,7 +180,7 @@ class ModelBundle:
         if self.pc is None or pc_params is None:
             return None
         frozen = jax.lax.stop_gradient(pc_params)
-        return lambda img: self.pc.apply(frozen, img)
+        return lambda img, **kw: self.pc.apply(frozen, img, **kw)
 
 
 def process_batch(
@@ -475,14 +475,33 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
 
     pc_apply = bundle.pc_apply(pc_params)
     if pc_apply is not None:
-        # photometric mask_novel blend applies to the perceptual input too
-        pred = rgb_rec
-        if mask_novel is not None:
-            pred = pred * mask_novel + target * (1.0 - mask_novel)
-        pc = perceptual_loss(
-            pc_apply, pred, target, source if cfg.loss.automask else None,
-            remat=cfg.pc_remat,
-        )
+        packed_pc = use_quad and cfg.pc_s2d and cfg.loss.pc_net == "vgg19"
+        if packed_pc:
+            # feed the VGG the phase-split tensors directly: the sweep
+            # kernel's rgb output and the already-packed target/source
+            # (exact packed conv1_1) — no full-res C=3 round trip
+            predq = sweep_out[0]
+            if mask_novel is not None:
+                mq = jnp.repeat(
+                    psq.s2d_image(mask_novel, predq.dtype), 3, axis=1)
+                predq = predq * mq + tgtq.astype(predq.dtype) * (1.0 - mq)
+            to_nhwc = lambda t: jnp.moveaxis(t, 1, -1)
+            pc = perceptual_loss(
+                pc_apply, to_nhwc(predq), to_nhwc(tgtq),
+                to_nhwc(srcq) if cfg.loss.automask else None,
+                remat=cfg.pc_remat, packed=True,
+            )
+        else:
+            # photometric mask_novel blend applies to the perceptual
+            # input too
+            pred = rgb_rec
+            if mask_novel is not None:
+                pred = pred * mask_novel + target * (1.0 - mask_novel)
+            pc = perceptual_loss(
+                pc_apply, pred, target,
+                source if cfg.loss.automask else None,
+                remat=cfg.pc_remat,
+            )
         losses["loss/pc_loss"] = pc
         total += cfg.loss.alpha_pc * pc
 

@@ -17,7 +17,7 @@ pytestmark = pytest.mark.heavy
 H, W = 64, 96
 
 
-def _cfg(fused, s2d="auto", quad=True):
+def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True):
     return TrainConfig(
         batch_size=2,
         flip_right=True,
@@ -28,21 +28,23 @@ def _cfg(fused, s2d="auto", quad=True):
                                xz_levels=3, yz_levels=0),
             s2d_tail=s2d,
         ),
-        loss=LossConfig(alpha_pc=0.0, automask=True),
+        loss=LossConfig(alpha_pc=alpha_pc, automask=True),
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=False,
         fused_sweep=fused,
         sweep_quad=quad,
+        pc_s2d=pc_s2d,
+        allow_random_pc=True,
     )
 
 
-def _one_step(fused, s2d="auto", quad=True):
-    cfg = _cfg(fused, s2d, quad)
+def _one_step(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True):
+    cfg = _cfg(fused, s2d, quad, alpha_pc, pc_s2d)
     bundle = ModelBundle(cfg)
-    params, stats, _ = bundle.init(jax.random.PRNGKey(0), H, W)
+    params, stats, pc_params = bundle.init(jax.random.PRNGKey(0), H, W)
     tx = make_optimizer(cfg, 10)
-    state = create_train_state(params, stats, tx)
+    state = create_train_state(params, stats, tx, pc_params=pc_params)
     batch = {k: jnp.asarray(v) for k, v in
              make_stereo_batch(1, H, W, seed=4).items()}
     step = jax.jit(make_train_step(bundle, tx))
@@ -89,6 +91,20 @@ def test_quad_step_matches_v1_packed_step():
         _one_step(True, s2d="on", quad=False),
         param_tol=1e-4,
     )
+
+
+def test_fused_packed_pc_matches_oracle_step():
+    """Full-recipe parity: the quad step with the PACKED perceptual
+    branch (pc_s2d: s2d VGG stem fed the kernel's phase-split rgb and
+    the packed target/source) == the oracle step's full-res perceptual
+    loss, including pc_loss and parameter updates."""
+    fused = _one_step(True, s2d="on", alpha_pc=0.1)
+    oracle = _one_step(False, alpha_pc=0.1, pc_s2d=False)
+    for k in ("loss/pc_loss",):
+        np.testing.assert_allclose(
+            float(fused[1][k]), float(oracle[1][k]), rtol=2e-4, err_msg=k,
+        )
+    _assert_steps_match(fused, oracle, param_tol=1e-4)
 
 
 def _plade_step(fused):

@@ -226,3 +226,36 @@ def test_decoder_s2d_grads_flow_to_canonical_params():
     for name in ("upconv_0_0", "upconv_0_1", "dispconv", "sigmaconv"):
         leaves = jax.tree_util.tree_leaves(g["depth"][name])
         assert any(float(jnp.abs(x).max()) > 0 for x in leaves), name
+
+
+def test_vgg_packed_stem_matches_full():
+    """Vgg19Features(packed s2d input) == Vgg19Features(full-res input)
+    with identical parameters — all three feature slices AND the
+    gradient w.r.t. the (packed vs full) pred input agree through the
+    exact packed conv1_1 (models/perceptual.py)."""
+    from planedepth_tpu.models.perceptual import Vgg19Features
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 32, 3).astype(np.float32))
+    net = Vgg19Features(dtype=jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    ref = net.apply(params, x)
+    got = net.apply(params, s2d.space_to_depth(x), packed=True)
+    assert len(ref) == len(got)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-5, atol=2e-5,
+            err_msg=f"slice {i}",
+        )
+
+    def loss_full(img):
+        return sum(jnp.sum(f ** 2) for f in net.apply(params, img))
+
+    def loss_packed(img):
+        return sum(jnp.sum(f ** 2) for f in net.apply(
+            params, s2d.space_to_depth(img), packed=True))
+
+    gr = jax.grad(loss_full)(x)
+    gp = jax.grad(loss_packed)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=2e-4, atol=2e-4)
