@@ -376,7 +376,7 @@ def _fwd_kernel_q(
     src_ref,     # (12, Rq, W2p) VMEM padded s2d source
     tgt_ref,     # (12, Rq, W2)  VMEM s2d target
     ls_ref,      # (4*2N, Rq, W2p) VMEM padded quad interleaved heads
-    *refs,       # rgb, nll, nlla [, disp] [, stats] outs (single pass)
+    *refs,       # rgb, nll [, nlla] [, disp] [, stats] outs (single pass)
     n_planes: int,
     n_vertical: int,
     rows_q: int,
@@ -385,14 +385,16 @@ def _fwd_kernel_q(
     with_disp: bool = False,
     gp_taps: int = 0,
     with_stats: bool = False,
+    with_auto: bool = True,
 ):
     refs = list(refs)
     stats_ref = refs.pop() if with_stats else None
-    if with_disp:
-        rgb_ref, nll_ref, nlla_ref, disp_ref = refs
-    else:
-        rgb_ref, nll_ref, nlla_ref = refs
-        disp_ref = None
+    rgb_ref, nll_ref = refs[0], refs[1]
+    refs = refs[2:]
+    # with_auto=False (production: the stereo recipes never automask)
+    # skips the whole automask mixture — one exp per plane per pixel
+    nlla_ref = refs.pop(0) if with_auto else None
+    disp_ref = refs.pop(0) if with_disp else None
     N, NV, Rq, W2 = n_planes, n_vertical, rows_q, width_q
     n2 = 2 * N
 
@@ -402,16 +404,20 @@ def _fwd_kernel_q(
         assert gp_taps > 0, "quad kernel requires ground-plane taps"
 
     tgt = tgt_ref[...].astype(F32).reshape(4, 3, Rq, W2)
-    src0 = src_ref[:, :, pl.ds(pad_q, W2)].astype(F32).reshape(4, 3, Rq, W2)
-    e_auto = jnp.abs(src0 - tgt).sum(1) / 3.0             # (4, Rq, W2)
+    if with_auto:
+        src0 = src_ref[:, :, pl.ds(pad_q, W2)].astype(F32).reshape(
+            4, 3, Rq, W2)
+        e_auto = jnp.abs(src0 - tgt).sum(1) / 3.0         # (4, Rq, W2)
 
     # ---- SINGLE online-softmax pass (flash-attention style): running max
     # with accumulator rescale replaces v1's max pass + the l/s VMEM
     # scratch round-trip entirely.  Every accumulator is e-linear, so one
     # corr multiply per plane keeps them exact.
+    nh = 6 if with_auto else 5           # head carry length
+
     def pass_all(sample_ls, sample_c):
         def body(n, carry):
-            mx, se, us, rgb_acc, M, Ma = carry[:6]
+            mx, se, us, rgb_acc, M = carry[:5]
             l_n, s_n = sample_ls(n)
             c_n = sample_c(n)                             # (4, 3, Rq, W2)
             corr, e_n, mx = _online_e(l_n, mx)
@@ -419,11 +425,14 @@ def _fwd_kernel_q(
             rgb_acc = rgb_acc * corr[:, None] + u_n[:, None] * c_n
             err_n = jnp.abs(c_n - tgt).sum(1) / 3.0
             M = M * corr + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
-            Ma = Ma * corr + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
-            head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M, Ma)
+            head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M)
+            if with_auto:
+                Ma = carry[5]
+                head = head + (
+                    Ma * corr + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n,)
             if not with_disp:
                 return head
-            mx0, se0, us0, ud0 = carry[6:10]
+            mx0, se0, us0, ud0 = carry[nh : nh + 4]
             l0, s0_raw = sm.center_ls(n)
             s0 = jnp.clip(s0_raw, 0.01, 1.0)
             corr0, e0_n, mx0 = _online_e(l0, mx0)
@@ -434,14 +443,16 @@ def _fwd_kernel_q(
             if with_stats:
                 # UNMASKED center normalizer (the backward's center
                 # softmax is taken over all planes, mask applied after)
-                head = head + (carry[10] * corr0 + e0_n,)
+                head = head + (carry[nh + 4] * corr0 + e0_n,)
             return head
         return body
 
     shp = (4, Rq, W2)
     zero = jnp.zeros(shp, F32)
     neg = jnp.full(shp, -1e30, F32)
-    carry = (neg, zero, zero, jnp.zeros((4, 3, Rq, W2), F32), zero, zero)
+    carry = (neg, zero, zero, jnp.zeros((4, 3, Rq, W2), F32), zero)
+    if with_auto:
+        carry = carry + (zero,)
     if with_disp:
         carry = carry + (neg, zero, zero, zero)
         if with_stats:
@@ -450,19 +461,20 @@ def _fwd_kernel_q(
     if N > NV:
         carry = jax.lax.fori_loop(
             NV, N, pass_all(sm.ls_taps, sm.c_taps), carry)
-    se, us, rgb_acc, M, Ma = carry[1:6]
+    se, us, rgb_acc, M = carry[1:5]
     inv_se = 1.0 / se
     U = us * inv_se
     inv_us = jnp.where(U > 1e-7, 1.0 / jnp.maximum(us, 1e-30), 0.0)
     M = M * inv_se
-    Ma = Ma * inv_se
 
     rgb_ref[...] = (rgb_acc * inv_us[:, None]).reshape(
         12, Rq, W2).astype(rgb_ref.dtype)
     nll_ref[...] = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
-    nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
+    if with_auto:
+        Ma = carry[5] * inv_se
+        nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
     if with_disp:
-        se0, us0, ud0 = carry[7:10]
+        se0, us0, ud0 = carry[nh + 1 : nh + 4]
         U0 = us0 / se0
         inv_us0 = jnp.where(U0 > 1e-7, 1.0 / jnp.maximum(us0, 1e-30), 0.0)
         disp_ref[...] = (ud0 * inv_us0).astype(disp_ref.dtype)
@@ -470,7 +482,7 @@ def _fwd_kernel_q(
         mx = carry[0]
         stats = [mx + jnp.log(se), U, M]
         if with_disp:
-            mx0, se0r = carry[6], carry[10]
+            mx0, se0r = carry[nh], carry[nh + 4]
             U0b = us0 / se0r
             disp0 = jnp.where(
                 U0b > 1e-7, ud0 / jnp.maximum(us0, 1e-30), 0.0)
@@ -727,13 +739,13 @@ def _bwd_kernel_q(
 @functools.partial(
     jax.jit,
     static_argnames=("pad", "rows", "interpret", "n_vertical", "with_disp",
-                     "gp_taps", "with_stats", "nonneg"),
+                     "gp_taps", "with_stats", "nonneg", "with_auto"),
 )
 def sweep_forward_quad(srcq, tgtq, lsq, shift2, mask2,
                        pad: int, rows: int = 16, interpret: bool = False,
                        n_vertical: int = 0, with_disp: bool = False,
                        gp_taps: int = 0, with_stats: bool = False,
-                       nonneg: bool = False):
+                       nonneg: bool = False, with_auto: bool = True):
     """Quad forward kernel invocation.
 
     Args:
@@ -752,12 +764,16 @@ def sweep_forward_quad(srcq, tgtq, lsq, shift2, mask2,
         and shifts are clipped at 0.
 
     Returns: (rgbq (B, 12, H/2, W/2) input-dtype, nll (B, 4, H/2, W/2)
-    f32, nll_auto, [disp] [, stats]) — all phase-split, ph = 2*py + px.
+    f32 [, nll_auto when with_auto] [, disp] [, stats]) — all
+    phase-split, ph = 2*py + px.  ``with_auto=False`` (the production
+    stereo recipes never automask) skips the automask mixture — one exp
+    per plane per pixel — inside the kernel.
     """
     return _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, pad=pad, rows=rows,
                        interpret=interpret, n_vertical=n_vertical,
                        with_disp=with_disp, gp_taps=gp_taps,
-                       with_stats=with_stats, nonneg=nonneg)
+                       with_stats=with_stats, nonneg=nonneg,
+                       with_auto=with_auto)
 
 
 def _quad_dims(srcq, lsq, rows):
@@ -792,7 +808,7 @@ def _quad_slack(pad2: int, gp_taps: int) -> int:
 
 def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
                 n_vertical, with_disp, gp_taps, with_stats=False,
-                nonneg=False, pre_padded=False):
+                nonneg=False, pre_padded=False, with_auto=True):
     # pre_padded: srcq/lsq already carry the (lpad, pad2 + slack) W halo
     # (the custom VJP pads ONCE in its fwd and saves the padded operands
     # as residuals, so the backward never re-pads); tgtq is never padded
@@ -814,7 +830,7 @@ def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
     kernel = functools.partial(
         _fwd_kernel_q, n_planes=N, n_vertical=n_vertical, rows_q=Rq,
         width_q=W2, pad_q=lpad, with_disp=with_disp, gp_taps=gp_taps,
-        with_stats=with_stats,
+        with_stats=with_stats, with_auto=with_auto,
     )
     smem_spec = pl.BlockSpec((None, 2, Rq, N), lambda b, h: (b, 0, h, 0),
                              memory_space=pltpu.SMEM)
@@ -824,11 +840,14 @@ def _fwd_call_q(srcq, tgtq, lsq, shift2, mask2, *, pad, rows, interpret,
                             memory_space=pltpu.VMEM)
 
     q_shape = jax.ShapeDtypeStruct((B, 4, Hq, W2), F32)
-    out_specs = [vspec(12, W2), vspec(4, W2), vspec(4, W2)]
+    out_specs = [vspec(12, W2), vspec(4, W2)]
     out_shape = [
         jax.ShapeDtypeStruct((B, 12, Hq, W2), srcq.dtype),
-        q_shape, q_shape,
+        q_shape,
     ]
+    if with_auto:
+        out_specs.append(vspec(4, W2))
+        out_shape.append(q_shape)
     if with_disp:
         out_specs.append(vspec(4, W2))
         out_shape.append(q_shape)
@@ -942,12 +961,13 @@ def sweep_backward_quad(srcq, tgtq, lsq, shift2, mask2, stats, rgb,
     return d_ls.astype(lsq.dtype), d_shift2.astype(shift2.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def fused_plane_sweep_quad(srcq, tgtq, lsq, shift2, mask2,
                            pad: int, interpret: bool = False,
                            n_vertical: int = 0, with_disp: bool = False,
                            rows: int = 16, gp_taps: int = 0,
-                           nonneg: bool = False):
+                           nonneg: bool = False, with_auto: bool = True):
     """Quad plane-sweep: Pallas forward + hand-derived phase-split VJP.
 
     The production path for the s2d decoder tail: zero full-resolution
@@ -957,12 +977,12 @@ def fused_plane_sweep_quad(srcq, tgtq, lsq, shift2, mask2,
     return sweep_forward_quad(
         srcq, tgtq, lsq, shift2, mask2, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps, nonneg=nonneg,
+        gp_taps=gp_taps, nonneg=nonneg, with_auto=with_auto,
     )
 
 
 def _fpsq_fwd(srcq, tgtq, lsq, shift2, mask2, pad, interpret, n_vertical,
-              with_disp, rows, gp_taps, nonneg):
+              with_disp, rows, gp_taps, nonneg, with_auto):
     # Pad ONCE: the padded operands are saved as residuals so the
     # backward never re-materializes the ~2x ls halo buffer.
     pad2 = _quad_pad(pad, gp_taps)
@@ -974,17 +994,20 @@ def _fpsq_fwd(srcq, tgtq, lsq, shift2, mask2, pad, interpret, n_vertical,
         src_p, tgtq, ls_p, shift2, mask2, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
         gp_taps=gp_taps, with_stats=True, nonneg=nonneg, pre_padded=True,
+        with_auto=with_auto,
     )
     out, stats = out[:-1], out[-1]
     return out, (src_p, tgtq, ls_p, shift2, mask2, stats, out[0])
 
 
 def _fpsq_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps, nonneg,
-              res, cts):
+              with_auto, res, cts):
     src_p, tgtq, ls_p, shift2, mask2, stats, rgb = res
-    # cts[2] (nll_auto) is dropped: pi/sigma are constants in the automask
-    # branch (reference trainer.py:733) and images get no gradient here.
-    g_disp = cts[3] if with_disp else None
+    # the nll_auto cotangent (cts[2] when with_auto) is dropped: pi/sigma
+    # are constants in the automask branch (reference trainer.py:733) and
+    # images get no gradient here.
+    di = 3 if with_auto else 2
+    g_disp = cts[di] if with_disp else None
     d_ls, d_shift2 = sweep_backward_quad(
         src_p, tgtq, ls_p, shift2, mask2, stats, rgb, cts[0], cts[1],
         g_disp, pad=pad, rows=rows, interpret=interpret,

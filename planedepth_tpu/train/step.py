@@ -417,22 +417,28 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         # kernel operand pad there (outside it, the sharding boundary
         # forces a standalone full-res pass).  nonneg: shifts are
         # disparities (>= 0), so the kernel operands skip the left halo.
+        # with_auto only when the recipe automasks — otherwise the kernel
+        # skips the automask mixture (one exp per plane per pixel).
+        with_auto = cfg.loss.automask
         sweep = shard_kernel(
             lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad(
                 s_, t_, sigma_head(l_, 1), sh_, m_,
                 pad, interpret, n_vertical, with_disp,
-                2 * cfg.sweep_rows, cfg.sweep_gp_taps, True,
+                2 * cfg.sweep_rows, cfg.sweep_gp_taps, True, with_auto,
             ),
             in_rows=(2, 2, 2, 2, 2),
-            out_rows=(2, 2, 2) + ((2,) if with_disp else ()),
+            out_rows=(2, 2) + ((2,) if with_auto else ())
+            + ((2,) if with_disp else ()),
             row_block=cfg.sweep_rows,
         )
         sweep_out = sweep(srcq, tgtq, lsq, psq.split_rows(shift),
                           psq.split_rows(mask_rows))
-        nll, nll_auto = sweep_out[1], sweep_out[2]     # (B, 4, H/2, W/2)
+        nll = sweep_out[1]                             # (B, 4, H/2, W/2)
+        nll_auto = sweep_out[2] if with_auto else None
         rgb_rec = psq.d2s_quad(sweep_out[0])           # (B, H, W, 3)
+        dispq = sweep_out[-1] if with_disp else None   # (B, 4, H/2, W/2)
         if with_disp:
-            disp = psq.d2s_quad(sweep_out[3])          # (B, H, W, 1)
+            disp = psq.d2s_quad(dispq)                 # (B, H, W, 1)
         else:
             disp = outputs["disp"]
     else:
@@ -521,7 +527,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
               else psq.s2d_image(batch["color_l"], in_dtype))
         w0 = x0 // 2
         smooth = smooth_loss_disp_quad(
-            sweep_out[3][:, :, :, w0:], iq[:, :, :, w0:],
+            dispq[:, :, :, w0:], iq[:, :, :, w0:],
             gamma=cfg.loss.gamma_smooth,
         )
     else:

@@ -17,7 +17,8 @@ pytestmark = pytest.mark.heavy
 H, W = 64, 96
 
 
-def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True):
+def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
+         automask=True):
     return TrainConfig(
         batch_size=2,
         flip_right=True,
@@ -28,7 +29,7 @@ def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True):
                                xz_levels=3, yz_levels=0),
             s2d_tail=s2d,
         ),
-        loss=LossConfig(alpha_pc=alpha_pc, automask=True),
+        loss=LossConfig(alpha_pc=alpha_pc, automask=automask),
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=False,
@@ -39,8 +40,9 @@ def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True):
     )
 
 
-def _one_step(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True):
-    cfg = _cfg(fused, s2d, quad, alpha_pc, pc_s2d)
+def _one_step(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
+              automask=True):
+    cfg = _cfg(fused, s2d, quad, alpha_pc, pc_s2d, automask)
     bundle = ModelBundle(cfg)
     params, stats, pc_params = bundle.init(jax.random.PRNGKey(0), H, W)
     tx = make_optimizer(cfg, 10)
@@ -89,6 +91,17 @@ def test_quad_step_matches_v1_packed_step():
     _assert_steps_match(
         _one_step(True, s2d="on", quad=True),
         _one_step(True, s2d="on", quad=False),
+        param_tol=1e-4,
+    )
+
+
+def test_fused_no_automask_matches_oracle_step():
+    """automask=False (the reference's stereo recipes): the quad kernel
+    runs with_auto=False — no nll_auto output at all — and must still
+    equal the oracle step."""
+    _assert_steps_match(
+        _one_step(True, s2d="on", automask=False),
+        _one_step(False, automask=False),
         param_tol=1e-4,
     )
 

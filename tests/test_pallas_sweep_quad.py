@@ -201,6 +201,54 @@ def test_nonneg_window_extent_boundary():
         )
 
 
+@pytest.mark.parametrize("with_disp", [False, True])
+def test_no_auto_parity(with_disp):
+    """with_auto=False (production: recipes without automask) drops the
+    nll_auto output and its per-plane exp, leaving every other output
+    and gradient identical."""
+    N, NV = 6, 4
+    src, tgt, ls, shift, mask = _mk_data(N=N, NV=NV, seed=13)
+    src_q = q.s2d_image(jnp.moveaxis(src, 1, -1))
+    tgt_q = q.s2d_image(jnp.moveaxis(tgt, 1, -1))
+
+    def run(with_auto, ls_, shift_):
+        return q.fused_plane_sweep_quad(
+            src_q, tgt_q, _pack_ls(ls_), q.split_rows(shift_),
+            q.split_rows(mask), PAD, True, NV, with_disp, ROWS, GP_TAPS,
+            False, with_auto,
+        )
+
+    ref = run(True, ls, shift)
+    got = run(False, ls, shift)
+    ref_wo = (ref[0], ref[1]) + tuple(ref[3:])     # drop nll_auto
+    assert len(got) == len(ref_wo)
+    for i, (r, g) in enumerate(zip(ref_wo, got)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=1e-6, atol=1e-6,
+            err_msg=f"output {i}",
+        )
+
+    rng = np.random.RandomState(3)
+    ws = [jnp.asarray(rng.randn(*np.asarray(o).shape).astype(np.float32))
+          for o in got]
+
+    def loss(with_auto, ls_, shift_):
+        outs = run(with_auto, ls_, shift_)
+        if with_auto:
+            outs = (outs[0], outs[1]) + tuple(outs[3:])
+        return sum(jnp.sum(w * o) for w, o in zip(ws, outs))
+
+    g_ref = jax.grad(lambda l, s: loss(True, l, s), argnums=(0, 1))(
+        ls, shift)
+    g_got = jax.grad(lambda l, s: loss(False, l, s), argnums=(0, 1))(
+        ls, shift)
+    for name, rg, gg in zip(("d_ls", "d_shift"), g_ref, g_got):
+        np.testing.assert_allclose(
+            np.asarray(gg), np.asarray(rg), rtol=1e-6, atol=1e-6,
+            err_msg=name,
+        )
+
+
 def test_pack_roundtrip():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
