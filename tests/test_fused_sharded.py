@@ -30,7 +30,7 @@ pytestmark = pytest.mark.heavy
 H, W = 64, 96
 
 
-def _cfg(s2d="auto"):
+def _cfg(s2d="auto", automask=True):
     return TrainConfig(
         batch_size=2 * 8,               # flip_right => per-step 8, eff 16
         flip_right=True,
@@ -42,7 +42,7 @@ def _cfg(s2d="auto"):
             fused_head="interpret",     # Pallas disp head off-TPU too
             s2d_tail=s2d,               # "on" => QUAD phase-split sweep
         ),
-        loss=LossConfig(alpha_pc=0.0, automask=True),
+        loss=LossConfig(alpha_pc=0.0, automask=automask),
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=False,
@@ -50,13 +50,18 @@ def _cfg(s2d="auto"):
     )
 
 
-@pytest.mark.parametrize("s2d", ["auto", "on"])
-def test_fused_step_sharded_matches_single_device(s2d):
+@pytest.mark.parametrize("s2d,automask", [
+    ("auto", True),
+    ("on", True),
+    ("on", False),      # production signature: quad with_auto=False
+])
+def test_fused_step_sharded_matches_single_device(s2d, automask):
     """s2d="auto" (off on CPU) takes the v1 packed kernel; "on" takes the
     QUAD phase-split kernel — both must match the single-device step on
-    the 8-device mesh."""
+    the 8-device mesh.  automask=False additionally exercises the
+    production with_auto=False kernel signature under the mesh."""
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    cfg = _cfg(s2d)
+    cfg = _cfg(s2d, automask)
     assert fused_sweep_ok(cfg), "config must take the fused production path"
     bundle = ModelBundle(cfg)
     params, batch_stats, _ = bundle.init(jax.random.PRNGKey(0), H, W)
