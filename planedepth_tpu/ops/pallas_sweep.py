@@ -361,7 +361,7 @@ def _fwd_kernel(
     src_ref,     # (3, R, Wp) VMEM padded source rows
     tgt_ref,     # (3, R, W)  VMEM target rows
     ls_ref,      # (2N, R, Wp) VMEM padded interleaved logits/sigma
-    *refs,       # rgb, nll, nlla [, disp] [, stats] outs (single pass)
+    *refs,       # rgb, nll [, nlla] [, disp] [, stats] outs (single pass)
     n_planes: int,
     n_vertical: int,
     rows: int,
@@ -370,14 +370,17 @@ def _fwd_kernel(
     with_disp: bool = False,
     gp_taps: int = 0,
     with_stats: bool = False,
+    with_auto: bool = True,
 ):
     refs = list(refs)
     stats_ref = refs.pop() if with_stats else None
-    if with_disp:
-        rgb_ref, nll_ref, nlla_ref, disp_ref = refs
-    else:
-        rgb_ref, nll_ref, nlla_ref = refs
-        disp_ref = None
+    rgb_ref, nll_ref = refs[0], refs[1]
+    refs = refs[2:]
+    # with_auto=False (recipes without automask) skips the automask
+    # mixture — one exp per plane per pixel; the stats Ma slot (layout
+    # shared with the image_grads backward) is written as zero
+    nlla_ref = refs.pop(0) if with_auto else None
+    disp_ref = refs.pop(0) if with_disp else None
     N, R, W = n_planes, rows, width
     NV = n_vertical
     WQ = W + 128            # aligned window: residual lane shift < 128
@@ -413,13 +416,17 @@ def _fwd_kernel(
     # shares its exp with e_n (_online_e).  The center (disp-head) sums
     # se0/us0/ud0 ride the same loop under their own running max.
     tgt = tgt_ref[...].astype(F32)                        # (3, R, W)
-    e_auto = (
-        jnp.abs(src_ref[:, :, pl.ds(pad, W)].astype(F32) - tgt).sum(0) / 3.0
-    )
+    if with_auto:
+        e_auto = (
+            jnp.abs(src_ref[:, :, pl.ds(pad, W)].astype(F32) - tgt).sum(0)
+            / 3.0
+        )
+
+    nh = 6 if with_auto else 5           # head carry length
 
     def pass_all(sample_ls, sample_c):
         def body(n, carry):
-            mx, se, us, rgb_acc, M, Ma = carry[:6]
+            mx, se, us, rgb_acc, M = carry[:5]
             l_n, s_n = sample_ls(n)
             c_n = sample_c(n)                             # (3, R, W)
             corr, e_n, mx = _online_e(l_n, mx)
@@ -427,11 +434,14 @@ def _fwd_kernel(
             rgb_acc = rgb_acc * corr[None] + u_n[None] * c_n
             err_n = jnp.abs(c_n - tgt).sum(0) / 3.0
             M = M * corr + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
-            Ma = Ma * corr + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n
-            head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M, Ma)
+            head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M)
+            if with_auto:
+                head = head + (
+                    carry[5] * corr
+                    + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n,)
             if not with_disp:
                 return head
-            mx0, se0, us0, ud0 = carry[6:10]
+            mx0, se0, us0, ud0 = carry[nh : nh + 4]
             l0, s0 = center_ls(n)
             corr0, e0_n, mx0 = _online_e(l0, mx0)
             u0_n = e0_n * _row_col(mask_ref, n, R) / s0
@@ -441,13 +451,15 @@ def _fwd_kernel(
             if with_stats:
                 # UNMASKED center normalizer (the backward's center
                 # softmax runs over all planes, mask applied after)
-                head = head + (carry[10] * corr0 + e0_n,)
+                head = head + (carry[nh + 4] * corr0 + e0_n,)
             return head
         return body
 
     zero = jnp.zeros((R, W), F32)
     neg = jnp.full((R, W), -1e30, F32)
-    carry = (neg, zero, zero, jnp.zeros((3, R, W), F32), zero, zero)
+    carry = (neg, zero, zero, jnp.zeros((3, R, W), F32), zero)
+    if with_auto:
+        carry = carry + (zero,)
     if with_disp:
         carry = carry + (neg, zero, zero, zero)
         if with_stats:
@@ -456,20 +468,23 @@ def _fwd_kernel(
         0, NV, pass_all(sample_ls_vec, sample_c_vec), carry)
     carry = jax.lax.fori_loop(NV, N, pass_all(sample_ls_g, sample_c_g),
                               carry)
-    se, us, rgb_acc, M, Ma = carry[1:6]
+    se, us, rgb_acc, M = carry[1:5]
     inv_se = 1.0 / se                        # se >= exp(0) = 1 at the max
     U = us * inv_se
     # rgb = sum (pi/s) c * inv(U) = (inv_se * rgb') * inv(us * inv_se)
     #     = rgb' / us, with the same U <= eps guard as the oracle
     inv_us = jnp.where(U > 1e-7, 1.0 / jnp.maximum(us, 1e-30), 0.0)
     M = M * inv_se
-    Ma = Ma * inv_se
 
     rgb_ref[...] = (rgb_acc * inv_us[None]).astype(rgb_ref.dtype)
     nll_ref[...] = -jnp.log(jnp.maximum(M, 0.0) + 1e-7)
-    nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
+    if with_auto:
+        Ma = carry[5] * inv_se
+        nlla_ref[...] = -jnp.log(jnp.maximum(Ma, 0.0) + 1e-7)
+    else:
+        Ma = zero                            # stats slot placeholder
     if with_disp:
-        se0, us0, ud0 = carry[7:10]
+        se0, us0, ud0 = carry[nh + 1 : nh + 4]
         U0 = us0 / se0
         inv_us0 = jnp.where(U0 > 1e-7, 1.0 / jnp.maximum(us0, 1e-30), 0.0)
         disp_ref[...] = (ud0 * inv_us0).astype(disp_ref.dtype)
@@ -477,7 +492,7 @@ def _fwd_kernel(
         mx = carry[0]
         stats = [mx + jnp.log(se), U, M, Ma]
         if with_disp:
-            mx0, se0r = carry[6], carry[10]
+            mx0, se0r = carry[nh], carry[nh + 4]
             U0b = us0 / se0r
             disp0 = jnp.where(
                 U0b > 1e-7, ud0 / jnp.maximum(us0, 1e-30), 0.0)
@@ -495,8 +510,8 @@ def _bwd_kernel(
     rgb_ref,     # (3, R, W) forward rgb output (for A = U*(G.rgb))
     grgb_ref,    # (3, R, W) cotangent of rgb_rec
     gnll_ref,    # (R, W)
-    gnla_ref,    # (R, W)
-    *refs,       # [gdisp when with_disp] [dsrc, dtgt when image_grads]
+    *refs,       # [gnla when with_auto] [gdisp when with_disp]
+                 # [dsrc, dtgt when image_grads]
                  # dlog [, dsig], dshift outs + the g staging scratch
     n_planes: int,
     n_vertical: int,
@@ -507,6 +522,7 @@ def _bwd_kernel(
     with_disp: bool = False,
     gp_taps: int = 0,
     packed_grads: bool = False,
+    with_auto: bool = True,
 ):
     """Adjoint of _fwd_kernel, same slicing structure, scatter-free.
 
@@ -534,7 +550,10 @@ def _bwd_kernel(
     ``ls`` input uses) instead of two (N, R, W) outputs; the caller's
     adjoint repack to the s2d decoder heads is then a single transpose.
     """
+    assert with_auto or not image_grads, (
+        "image_grads needs the automask adjoint (with_auto)")
     refs = list(refs)
+    gnla_ref = refs.pop(0) if with_auto else None
     gdisp_ref = refs.pop(0) if with_disp else None
     if image_grads:
         dsrc_ref, dtgt_ref = refs[:2]
@@ -816,13 +835,14 @@ def _interleave_ls(logits_t, sigma_t):
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "with_disp", "gp_taps",
-        "with_stats",
+        "with_stats", "with_auto",
     ),
 )
 def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                   pad: int, rows: int = 8, interpret: bool = False,
                   n_vertical: int = 0, with_disp: bool = False,
-                  gp_taps: int = 0, with_stats: bool = False):
+                  gp_taps: int = 0, with_stats: bool = False,
+                  with_auto: bool = True):
     """Run the fused forward kernel.
 
     Args:
@@ -837,7 +857,8 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
         row disparities, which is exactly the stereo train-step setup).
 
     Returns:
-      (rgb_rec (B, 3, H, W) f32, nll (B, H, W) f32, nll_auto (B, H, W) f32
+      (rgb_rec (B, 3, H, W) f32, nll (B, H, W) f32
+       [, nll_auto (B, H, W) f32 when ``with_auto``]
        [, disp (B, H, W) f32] [, stats (B, _n_stats, H, W) f32 — the
        softmax statistics the single-pass backward consumes, appended
        LAST when ``with_stats``])
@@ -846,6 +867,7 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
         src_t, target_t, _interleave_ls(logits_t, sigma_t), shift, mask,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         with_disp=with_disp, gp_taps=gp_taps, with_stats=with_stats,
+        with_auto=with_auto,
     )
 
 
@@ -853,13 +875,14 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "with_disp", "gp_taps",
-        "with_stats",
+        "with_stats", "with_auto",
     ),
 )
 def sweep_forward_packed(src_t, target_t, ls, shift, mask,
                          pad: int, rows: int = 8, interpret: bool = False,
                          n_vertical: int = 0, with_disp: bool = False,
-                         gp_taps: int = 0, with_stats: bool = False):
+                         gp_taps: int = 0, with_stats: bool = False,
+                         with_auto: bool = True):
     """:func:`sweep_forward` on a PRE-INTERLEAVED head buffer ``ls``
     ``(B, 2N, H, W)`` (logits at 2n, sigma at 2n+1) — the s2d production
     path where the decoder's merged head conv emits this layout up to
@@ -867,7 +890,7 @@ def sweep_forward_packed(src_t, target_t, ls, shift, mask,
     return _fwd_call(
         src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps, with_stats=with_stats,
+        gp_taps=gp_taps, with_stats=with_stats, with_auto=with_auto,
     )
 
 
@@ -879,7 +902,7 @@ def _v1_geom(pad: int, gp_taps: int):
 
 def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
               n_vertical, with_disp, gp_taps, with_stats=False,
-              pre_padded=False):
+              pre_padded=False, with_auto=True):
     B, _, H, W = target_t.shape
     N = ls.shape[1] // 2
     R = rows
@@ -911,7 +934,7 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
     kernel = functools.partial(
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
         pad=pad, with_disp=with_disp, gp_taps=gp_taps,
-        with_stats=with_stats,
+        with_stats=with_stats, with_auto=with_auto,
     )
 
     row_spec = pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
@@ -920,15 +943,18 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
     out_specs = [
         pl.BlockSpec((None, 3, R, W), lambda b, h: (b, 0, h, 0),
                      memory_space=pltpu.VMEM),
-        row_spec, row_spec,
+        row_spec,
     ]
     out_shape = [
         # reconstruction in the INPUT dtype (bf16 in production): its
         # only consumer is the perceptual net, which runs bf16 anyway;
         # halves the largest output write and its cotangent traffic
         jax.ShapeDtypeStruct((B, 3, H, W), src_t.dtype),
-        row_shape, row_shape,
+        row_shape,
     ]
+    if with_auto:
+        out_specs.append(row_spec)
+        out_shape.append(row_shape)
     if with_disp:
         out_specs.append(row_spec)
         out_shape.append(row_shape)
@@ -969,14 +995,15 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "image_grads", "with_disp",
-        "gp_taps",
+        "gp_taps", "with_auto",
     ),
 )
 def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
                    stats, rgb, g_rgb, g_nll, g_nla, g_disp=None,
                    pad: int = 0, rows: int = 8, interpret: bool = False,
                    n_vertical: int = 0, image_grads: bool = True,
-                   with_disp: bool = False, gp_taps: int = 0):
+                   with_disp: bool = False, gp_taps: int = 0,
+                   with_auto: bool = True):
     """Pallas backward kernel invocation (adjoint of sweep_forward).
 
     ``stats``/``rgb`` are the forward's ``with_stats`` output and rgb
@@ -993,7 +1020,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
         stats, rgb, g_rgb, g_nll, g_nla, g_disp, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
-        packed_grads=False,
+        packed_grads=False, with_auto=with_auto,
     )
     return (
         d_src,
@@ -1009,7 +1036,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "image_grads", "with_disp",
-        "gp_taps",
+        "gp_taps", "with_auto",
     ),
 )
 def sweep_backward_packed(src_t, target_t, ls, shift, mask,
@@ -1017,7 +1044,7 @@ def sweep_backward_packed(src_t, target_t, ls, shift, mask,
                           pad: int = 0, rows: int = 8,
                           interpret: bool = False, n_vertical: int = 0,
                           image_grads: bool = True, with_disp: bool = False,
-                          gp_taps: int = 0):
+                          gp_taps: int = 0, with_auto: bool = True):
     """:func:`sweep_backward` on the pre-interleaved head buffer ``ls``
     ``(B, 2N, H, W)``: the kernel emits ONE interleaved ``d_ls`` of the
     same shape (d_logits at 2n, d_sigma at 2n+1), so the production
@@ -1027,7 +1054,7 @@ def sweep_backward_packed(src_t, target_t, ls, shift, mask,
         g_rgb, g_nll, g_nla, g_disp,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
-        packed_grads=True,
+        packed_grads=True, with_auto=with_auto,
     )
     return (
         d_src,
@@ -1041,7 +1068,7 @@ def sweep_backward_packed(src_t, target_t, ls, shift, mask,
 def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
               g_rgb, g_nll, g_nla, g_disp,
               *, pad, rows, interpret, n_vertical, image_grads, with_disp,
-              gp_taps, packed_grads, pre_padded=False):
+              gp_taps, packed_grads, pre_padded=False, with_auto=True):
     assert pad > 0, "pad is required (>= max |shift| + 1)"
     B, _, H, W = target_t.shape
     N = ls.shape[1] // 2
@@ -1061,7 +1088,7 @@ def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
     kernel = functools.partial(
         _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
         pad=pad, image_grads=image_grads, with_disp=with_disp,
-        gp_taps=gp_taps, packed_grads=packed_grads,
+        gp_taps=gp_taps, packed_grads=packed_grads, with_auto=with_auto,
     )
 
     def vspec(shape_prefix, Wd):
@@ -1081,9 +1108,12 @@ def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
     )
     row_in_spec = pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
                                memory_space=pltpu.VMEM)
-    ct_args = [stats, rgb, g_rgb, g_nll, g_nla]
+    ct_args = [stats, rgb, g_rgb, g_nll]
     ct_specs = [vspec((_n_stats(with_disp), R), W), vspec((3, R), W),
-                vspec((3, R), W), row_in_spec, row_in_spec]
+                vspec((3, R), W), row_in_spec]
+    if with_auto:
+        ct_args.append(g_nla)
+        ct_specs.append(row_in_spec)
     if with_disp:
         ct_args.append(g_disp)
         ct_specs.append(row_in_spec)
@@ -1422,12 +1452,13 @@ def _shift_gather_int(maps, k, W):
     return jnp.where(valid[:, None], g, 0.0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
 def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
                       pad: int, interpret: bool = False,
                       n_vertical: int = 0, image_grads: bool = True,
                       with_disp: bool = False, rows: int = 8,
-                      gp_taps: int = 0):
+                      gp_taps: int = 0, with_auto: bool = True):
     """Fused plane-sweep: Pallas forward + hand-derived scatter-free VJP.
 
     The automask NLL treats pi/sigma as constants by definition (reference
@@ -1440,11 +1471,12 @@ def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
     return sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                          pad=pad, rows=rows, interpret=interpret,
                          n_vertical=n_vertical, with_disp=with_disp,
-                         gp_taps=gp_taps)
+                         gp_taps=gp_taps, with_auto=with_auto)
 
 
 def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
-             interpret, n_vertical, image_grads, with_disp, rows, gp_taps):
+             interpret, n_vertical, image_grads, with_disp, rows, gp_taps,
+             with_auto):
     # pad ONCE: the padded operands are saved as residuals so the
     # backward never re-materializes the ls/src halo buffers
     padr, slack = _v1_geom(pad, gp_taps)
@@ -1453,23 +1485,26 @@ def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
     out = _fwd_call(src_p, target_t, ls_p, shift, mask,
                     pad=pad, rows=rows, interpret=interpret,
                     n_vertical=n_vertical, with_disp=with_disp,
-                    gp_taps=gp_taps, with_stats=True, pre_padded=True)
+                    gp_taps=gp_taps, with_stats=True, pre_padded=True,
+                    with_auto=with_auto)
     out, stats = tuple(out[:-1]), out[-1]
     return out, (src_p, target_t, ls_p, shift, mask, stats, out[0])
 
 
 def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
-             gp_taps, res, cts):
+             gp_taps, with_auto, res, cts):
     src_p, target_t, ls_p, shift, mask, stats, rgb = res
     ldt = sdt = ls_p.dtype       # logits/sigma arrive interleave-promoted
     cts = [x.astype(F32) for x in cts]
-    g_disp = cts[3] if with_disp else None
+    di = 3 if with_auto else 2
+    g_disp = cts[di] if with_disp else None
     d_src, d_tgt, d_log, d_sig, d_shift = _bwd_call(
         src_p, target_t, ls_p, shift, mask, stats, rgb,
-        cts[0], cts[1], cts[2], g_disp, pad=pad, rows=rows,
-        interpret=interpret,
+        cts[0], cts[1], cts[2] if with_auto else None, g_disp,
+        pad=pad, rows=rows, interpret=interpret,
         n_vertical=n_vertical, image_grads=image_grads, with_disp=with_disp,
         gp_taps=gp_taps, packed_grads=False, pre_padded=True,
+        with_auto=with_auto,
     )
     return (d_src, d_tgt, d_log.astype(ldt), d_sig.astype(sdt),
             d_shift.astype(shift.dtype), jnp.zeros_like(mask))
@@ -1478,12 +1513,13 @@ def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
 fused_plane_sweep.defvjp(_fps_fwd, _fps_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def fused_plane_sweep_packed(src_t, target_t, ls, shift, mask,
                              pad: int, interpret: bool = False,
                              n_vertical: int = 0, image_grads: bool = True,
                              with_disp: bool = False, rows: int = 8,
-                             gp_taps: int = 0):
+                             gp_taps: int = 0, with_auto: bool = True):
     """:func:`fused_plane_sweep` on a PRE-INTERLEAVED head buffer ``ls``
     ``(B, 2N, H, W)`` (logits at 2n, sigma at 2n+1).
 
@@ -1496,12 +1532,12 @@ def fused_plane_sweep_packed(src_t, target_t, ls, shift, mask,
     return sweep_forward_packed(
         src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps,
+        gp_taps=gp_taps, with_auto=with_auto,
     )
 
 
 def _fpsp_fwd(src_t, target_t, ls, shift, mask, pad, interpret, n_vertical,
-              image_grads, with_disp, rows, gp_taps):
+              image_grads, with_disp, rows, gp_taps, with_auto):
     # pad ONCE (see _fps_fwd)
     padr, slack = _v1_geom(pad, gp_taps)
     src_p = _pad_w(src_t, padr, slack)
@@ -1509,22 +1545,24 @@ def _fpsp_fwd(src_t, target_t, ls, shift, mask, pad, interpret, n_vertical,
     out = _fwd_call(src_p, target_t, ls_p, shift, mask,
                     pad=pad, rows=rows, interpret=interpret,
                     n_vertical=n_vertical, with_disp=with_disp,
-                    gp_taps=gp_taps, with_stats=True, pre_padded=True)
+                    gp_taps=gp_taps, with_stats=True, pre_padded=True,
+                    with_auto=with_auto)
     out, stats = tuple(out[:-1]), out[-1]
     return out, (src_p, target_t, ls_p, shift, mask, stats, out[0])
 
 
 def _fpsp_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
-              gp_taps, res, cts):
+              gp_taps, with_auto, res, cts):
     src_p, target_t, ls_p, shift, mask, stats, rgb = res
     cts = [x.astype(F32) for x in cts]
-    g_disp = cts[3] if with_disp else None
+    di = 3 if with_auto else 2
+    g_disp = cts[di] if with_disp else None
     d_src, d_tgt, d_ls, d_shift = _bwd_call(
         src_p, target_t, ls_p, shift, mask, stats, rgb,
-        cts[0], cts[1], cts[2], g_disp,
+        cts[0], cts[1], cts[2] if with_auto else None, g_disp,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
-        packed_grads=True, pre_padded=True,
+        packed_grads=True, pre_padded=True, with_auto=with_auto,
     )
     return (d_src, d_tgt, d_ls.astype(ls_p.dtype),
             d_shift.astype(shift.dtype), jnp.zeros_like(mask))

@@ -443,22 +443,25 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
             disp = outputs["disp"]
     else:
         src_t, tgt_t, head_operands = v1_operands()
+        with_auto = cfg.loss.automask
         fps = fused_plane_sweep_packed if packed else fused_plane_sweep
         sweep = shard_kernel(
             lambda *a: fps(
                 *a, pad, interpret, n_vertical,
                 False,               # image_grads: images are never diffed
-                with_disp, cfg.sweep_rows, cfg.sweep_gp_taps,
+                with_disp, cfg.sweep_rows, cfg.sweep_gp_taps, with_auto,
             ),
             in_rows=(2, 2) + (2,) * len(head_operands) + (1, 1),
-            out_rows=(2, 1, 1) + ((1,) if with_disp else ()),
+            out_rows=(2, 1) + ((1,) if with_auto else ())
+            + ((1,) if with_disp else ()),
             row_block=cfg.sweep_rows,
         )
         sweep_out = sweep(src_t, tgt_t, *head_operands, shift, mask_rows)
-        rgb_t, nll, nll_auto = sweep_out[:3]
-        nll, nll_auto = nll[..., None], nll_auto[..., None]
+        rgb_t, nll = sweep_out[:2]
+        nll = nll[..., None]
+        nll_auto = sweep_out[2][..., None] if with_auto else None
         if with_disp:
-            disp = sweep_out[3][..., None]           # (B, H, W, 1)
+            disp = sweep_out[-1][..., None]          # (B, H, W, 1)
         else:
             disp = outputs["disp"]
         rgb_rec = jnp.moveaxis(rgb_t, 1, -1)

@@ -496,3 +496,45 @@ def test_oracle_matches_view_synthesis_composition():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(nlla_o), np.asarray(nlla_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("with_disp", [False, True])
+def test_with_auto_off_parity(with_disp):
+    """with_auto=False (recipes without automask, production stereo)
+    drops the nll_auto output and its per-plane exp; every other output
+    and gradient is identical (image_grads must be off — the automask
+    adjoint needs it)."""
+    args = _inputs()
+
+    def run(with_auto, logits, sigma, shift):
+        return fused_plane_sweep(
+            args[0], args[1], logits, sigma, shift, args[5],
+            PAD, True, 0, False, with_disp, 4, 0, with_auto,
+        )
+
+    ref = run(True, *args[2:5])
+    got = run(False, *args[2:5])
+    ref_wo = (ref[0], ref[1]) + tuple(ref[3:])
+    assert len(got) == len(ref_wo)
+    for i, (r, g) in enumerate(zip(ref_wo, got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"output {i}")
+
+    rng = np.random.default_rng(5)
+    ws = [jnp.asarray(rng.standard_normal(np.asarray(o).shape)
+                      .astype(np.float32)) for o in got]
+
+    def loss(with_auto, logits, sigma, shift):
+        outs = run(with_auto, logits, sigma, shift)
+        if with_auto:
+            outs = (outs[0], outs[1]) + tuple(outs[3:])
+        return sum(jnp.sum(w * o) for w, o in zip(ws, outs))
+
+    g_ref = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2))(
+        *args[2:5])
+    g_got = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2))(
+        *args[2:5])
+    for name, rg, gg in zip(("d_log", "d_sig", "d_shift"), g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
