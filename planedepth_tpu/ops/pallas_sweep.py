@@ -518,6 +518,7 @@ def _bwd_kernel(
     rows: int,
     width: int,
     pad: int,
+    gpad: int,
     image_grads: bool = True,
     with_disp: bool = False,
     gp_taps: int = 0,
@@ -565,10 +566,13 @@ def _bwd_kernel(
         dsig_ref = None
     else:
         dlog_ref, dsig_ref, dshift_ref, g_scr = refs
+    # pad: left offset of the W center in the HBM operands (0 in nonneg
+    # mode); gpad: left reach of the VMEM staging scratch (always the
+    # full rounded pad — reverse windows read [gpad - k ...))
     N, R, W = n_planes, rows, width
     NV = n_vertical
     WQ = W + 128
-    WG = W + 2 * pad + (256 if gp_taps else 128)
+    WG = W + 2 * gpad + (256 if gp_taps else 128)
 
     sm = _make_samplers(
         shift_ref, mask_ref, src_ref, ls_ref, R, W, pad, gp_taps=gp_taps
@@ -725,16 +729,16 @@ def _bwd_kernel(
             sample_lsd_vec, sample_cd_vec, n)
         p, f = taps(0, n)
         m = mask_ref[0, n]
-        rev = 2 * pad - p
+        rev = gpad + pad - p
 
         dshift_ref[n] = jnp.broadcast_to(dshift_r[:, None], (R, 128))
 
         # d_src / d_logits / d_sigma via reverse windows of staged blocks
         if image_grads:
-            g_scr[:, :, pl.ds(pad, W)] = dc_n * m
+            g_scr[:, :, pl.ds(gpad, W)] = dc_n * m
             dsrc_ref[...] += g_back_vec(rev, f)
-        g_scr[0, :, pl.ds(pad, W)] = dl_n * m
-        g_scr[1, :, pl.ds(pad, W)] = ds_g * m
+        g_scr[0, :, pl.ds(gpad, W)] = dl_n * m
+        g_scr[1, :, pl.ds(gpad, W)] = ds_g * m
         back2 = g_back_vec(rev, f)
         bl, bs = center_add(back2[0], back2[1], dl0_n, ds0_n)
         emit_ls(n, bl, bs)
@@ -748,20 +752,20 @@ def _bwd_kernel(
         if image_grads:
             for r in range(R):
                 m = mask_ref[r, n]
-                g_scr[:, pl.ds(r, 1), pl.ds(pad, W)] = dc_n[:, r : r + 1] * m
+                g_scr[:, pl.ds(r, 1), pl.ds(gpad, W)] = dc_n[:, r : r + 1] * m
             dsrc_rows = []
             for r in range(R):
                 p, f = taps(r, n)
-                dsrc_rows.append(g_back(r, 2 * pad - p, f))
+                dsrc_rows.append(g_back(r, gpad + pad - p, f))
             dsrc_ref[...] += jnp.concatenate(dsrc_rows, axis=1)
 
         for r in range(R):
             m = mask_ref[r, n]
-            g_scr[0, pl.ds(r, 1), pl.ds(pad, W)] = dl_n[r : r + 1] * m
-            g_scr[1, pl.ds(r, 1), pl.ds(pad, W)] = ds_g[r : r + 1] * m
+            g_scr[0, pl.ds(r, 1), pl.ds(gpad, W)] = dl_n[r : r + 1] * m
+            g_scr[1, pl.ds(r, 1), pl.ds(gpad, W)] = ds_g[r : r + 1] * m
         for r in range(R):
             p, f = taps(r, n)
-            back = g_back(r, 2 * pad - p, f)
+            back = g_back(r, gpad + pad - p, f)
             if with_disp:
                 bl = back[0] + dl0_n[r : r + 1]
                 bs = back[1] + ds0_n[r : r + 1]
@@ -782,7 +786,7 @@ def _bwd_kernel(
         kmin, kmax = sm.k_extreme(n)
         f_vec, eqr = sm.row_onehots(n, kmax, sign=-1.0)
         wrev = sm.tap_w(f_vec, eqr, reverse=True)
-        base_rev = (pad - 1) - kmax.astype(jnp.int32)
+        base_rev = (gpad - 1) - kmax.astype(jnp.int32)
         q = pl.multiple_of((base_rev // 128) * 128, 128)
         amt = (sm.WT - (base_rev - q)) % sm.WT
         m_vec = _row_col(mask_ref, n, R)               # (R, 1)
@@ -792,10 +796,10 @@ def _bwd_kernel(
             return sm.taps_combine(pltpu.roll(win, amt, axis=2), wrev)
 
         if image_grads:
-            g_scr[:, :, pl.ds(pad, W)] = dc_n * m_vec
+            g_scr[:, :, pl.ds(gpad, W)] = dc_n * m_vec
             dsrc_ref[...] += g_back_taps(3)
-        g_scr[0, :, pl.ds(pad, W)] = dl_n * m_vec
-        g_scr[1, :, pl.ds(pad, W)] = ds_g * m_vec
+        g_scr[0, :, pl.ds(gpad, W)] = dl_n * m_vec
+        g_scr[1, :, pl.ds(gpad, W)] = ds_g * m_vec
         back = g_back_taps(2)
         bl, bs = center_add(back[0], back[1], dl0_n, ds0_n)
         emit_ls(n, bl, bs)
@@ -820,6 +824,12 @@ def _pad_w(x, pad, slack=128):
     return jnp.pad(x, cfg)
 
 
+def _pad_lr_v1(x, lpad, rpad):
+    """Zero-pad the trailing W axis asymmetrically."""
+    cfg = [(0, 0)] * (x.ndim - 1) + [(lpad, rpad)]
+    return jnp.pad(x, cfg)
+
+
 def _interleave_ls(logits_t, sigma_t):
     """Interleave (B, N, H, W) logits/sigma into (B, 2N, H, W) with
     logits at 2n and sigma at 2n+1 — ONE window+roll in the kernel then
@@ -835,14 +845,14 @@ def _interleave_ls(logits_t, sigma_t):
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "with_disp", "gp_taps",
-        "with_stats", "with_auto",
+        "with_stats", "with_auto", "nonneg",
     ),
 )
 def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                   pad: int, rows: int = 8, interpret: bool = False,
                   n_vertical: int = 0, with_disp: bool = False,
                   gp_taps: int = 0, with_stats: bool = False,
-                  with_auto: bool = True):
+                  with_auto: bool = True, nonneg: bool = False):
     """Run the fused forward kernel.
 
     Args:
@@ -867,7 +877,7 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
         src_t, target_t, _interleave_ls(logits_t, sigma_t), shift, mask,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         with_disp=with_disp, gp_taps=gp_taps, with_stats=with_stats,
-        with_auto=with_auto,
+        with_auto=with_auto, nonneg=nonneg,
     )
 
 
@@ -875,14 +885,14 @@ def sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "with_disp", "gp_taps",
-        "with_stats", "with_auto",
+        "with_stats", "with_auto", "nonneg",
     ),
 )
 def sweep_forward_packed(src_t, target_t, ls, shift, mask,
                          pad: int, rows: int = 8, interpret: bool = False,
                          n_vertical: int = 0, with_disp: bool = False,
                          gp_taps: int = 0, with_stats: bool = False,
-                         with_auto: bool = True):
+                         with_auto: bool = True, nonneg: bool = False):
     """:func:`sweep_forward` on a PRE-INTERLEAVED head buffer ``ls``
     ``(B, 2N, H, W)`` (logits at 2n, sigma at 2n+1) — the s2d production
     path where the decoder's merged head conv emits this layout up to
@@ -891,18 +901,21 @@ def sweep_forward_packed(src_t, target_t, ls, shift, mask,
         src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
         gp_taps=gp_taps, with_stats=with_stats, with_auto=with_auto,
+        nonneg=nonneg,
     )
 
 
-def _v1_geom(pad: int, gp_taps: int):
-    """(lane-rounded pad, roll slack) — shared by fwd/bwd calls and the
-    pad-once VJPs."""
-    return ((pad + 127) // 128) * 128, (256 if gp_taps else 128)
+def _v1_geom(pad: int, gp_taps: int, nonneg: bool = False):
+    """(lane-rounded pad, roll slack, left pad) — shared by fwd/bwd calls
+    and the pad-once VJPs.  ``nonneg`` (production: shifts are
+    disparities >= 0) drops the left halo, which is never read then."""
+    padr = ((pad + 127) // 128) * 128
+    return padr, (256 if gp_taps else 128), (0 if nonneg else padr)
 
 
 def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
               n_vertical, with_disp, gp_taps, with_stats=False,
-              pre_padded=False, with_auto=True):
+              pre_padded=False, with_auto=True, nonneg=False):
     B, _, H, W = target_t.shape
     N = ls.shape[1] // 2
     R = rows
@@ -910,8 +923,8 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
     # pad to a multiple of 128 so static slices stay lane-aligned, +128
     # window slack for the dynamic lane roll (see _fwd_kernel.window);
     # the ground-plane taps path needs 256 (WT windows)
-    pad, slack = _v1_geom(pad, gp_taps)
-    Wp = W + 2 * pad + slack
+    pad, slack, lpad = _v1_geom(pad, gp_taps, nonneg)
+    Wp = W + lpad + pad + slack
     # backstop: keep the dynamic slice start within the padded buffer.
     # NOTE this substitutes the sample at the clamped offset, NOT the
     # zeros the XLA twin would produce — callers must guarantee
@@ -922,18 +935,18 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
     # disparity DECREASES toward the horizon (disp = dw/ground_layered
     # with ground_layered -> inf as y -> 0), peaking well below disp_max
     # at the image bottom.
-    shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
+    shift = jnp.clip(shift, 0.0 if nonneg else -(pad - 2.0), pad - 2.0)
 
     if pre_padded:
         src_p, ls_p = src_t, ls
         assert ls_p.shape[-1] == Wp, (ls_p.shape, Wp)
     else:
-        src_p = _pad_w(src_t, pad, slack)
-        ls_p = _pad_w(ls, pad, slack)
+        src_p = _pad_lr_v1(src_t, lpad, pad + slack)
+        ls_p = _pad_lr_v1(ls, lpad, pad + slack)
 
     kernel = functools.partial(
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
-        pad=pad, with_disp=with_disp, gp_taps=gp_taps,
+        pad=lpad, with_disp=with_disp, gp_taps=gp_taps,
         with_stats=with_stats, with_auto=with_auto,
     )
 
@@ -995,7 +1008,7 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "image_grads", "with_disp",
-        "gp_taps", "with_auto",
+        "gp_taps", "with_auto", "nonneg",
     ),
 )
 def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
@@ -1003,7 +1016,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
                    pad: int = 0, rows: int = 8, interpret: bool = False,
                    n_vertical: int = 0, image_grads: bool = True,
                    with_disp: bool = False, gp_taps: int = 0,
-                   with_auto: bool = True):
+                   with_auto: bool = True, nonneg: bool = False):
     """Pallas backward kernel invocation (adjoint of sweep_forward).
 
     ``stats``/``rgb`` are the forward's ``with_stats`` output and rgb
@@ -1020,7 +1033,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
         stats, rgb, g_rgb, g_nll, g_nla, g_disp, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
-        packed_grads=False, with_auto=with_auto,
+        packed_grads=False, with_auto=with_auto, nonneg=nonneg,
     )
     return (
         d_src,
@@ -1036,7 +1049,7 @@ def sweep_backward(src_t, target_t, logits_t, sigma_t, shift, mask,
     jax.jit,
     static_argnames=(
         "pad", "rows", "interpret", "n_vertical", "image_grads", "with_disp",
-        "gp_taps", "with_auto",
+        "gp_taps", "with_auto", "nonneg",
     ),
 )
 def sweep_backward_packed(src_t, target_t, ls, shift, mask,
@@ -1044,7 +1057,8 @@ def sweep_backward_packed(src_t, target_t, ls, shift, mask,
                           pad: int = 0, rows: int = 8,
                           interpret: bool = False, n_vertical: int = 0,
                           image_grads: bool = True, with_disp: bool = False,
-                          gp_taps: int = 0, with_auto: bool = True):
+                          gp_taps: int = 0, with_auto: bool = True,
+                          nonneg: bool = False):
     """:func:`sweep_backward` on the pre-interleaved head buffer ``ls``
     ``(B, 2N, H, W)``: the kernel emits ONE interleaved ``d_ls`` of the
     same shape (d_logits at 2n, d_sigma at 2n+1), so the production
@@ -1054,7 +1068,7 @@ def sweep_backward_packed(src_t, target_t, ls, shift, mask,
         g_rgb, g_nll, g_nla, g_disp,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
-        packed_grads=True, with_auto=with_auto,
+        packed_grads=True, with_auto=with_auto, nonneg=nonneg,
     )
     return (
         d_src,
@@ -1068,26 +1082,27 @@ def sweep_backward_packed(src_t, target_t, ls, shift, mask,
 def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
               g_rgb, g_nll, g_nla, g_disp,
               *, pad, rows, interpret, n_vertical, image_grads, with_disp,
-              gp_taps, packed_grads, pre_padded=False, with_auto=True):
+              gp_taps, packed_grads, pre_padded=False, with_auto=True,
+              nonneg=False):
     assert pad > 0, "pad is required (>= max |shift| + 1)"
     B, _, H, W = target_t.shape
     N = ls.shape[1] // 2
     R = rows
-    pad, slack = _v1_geom(pad, gp_taps)
-    Wp = W + 2 * pad + slack
+    pad, slack, lpad = _v1_geom(pad, gp_taps, nonneg)
+    Wp = W + lpad + pad + slack
     WG = W + 2 * pad + slack
-    shift = jnp.clip(shift, -(pad - 2.0), pad - 2.0)
+    shift = jnp.clip(shift, 0.0 if nonneg else -(pad - 2.0), pad - 2.0)
 
     if pre_padded:
         src_p, ls_p = src_t, ls
         assert ls_p.shape[-1] == Wp, (ls_p.shape, Wp)
     else:
-        src_p = _pad_w(src_t, pad, slack)
-        ls_p = _pad_w(ls, pad, slack)
+        src_p = _pad_lr_v1(src_t, lpad, pad + slack)
+        ls_p = _pad_lr_v1(ls, lpad, pad + slack)
 
     kernel = functools.partial(
         _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
-        pad=pad, image_grads=image_grads, with_disp=with_disp,
+        pad=lpad, gpad=pad, image_grads=image_grads, with_disp=with_disp,
         gp_taps=gp_taps, packed_grads=packed_grads, with_auto=with_auto,
     )
 
@@ -1453,12 +1468,13 @@ def _shift_gather_int(maps, k, W):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
                       pad: int, interpret: bool = False,
                       n_vertical: int = 0, image_grads: bool = True,
                       with_disp: bool = False, rows: int = 8,
-                      gp_taps: int = 0, with_auto: bool = True):
+                      gp_taps: int = 0, with_auto: bool = True,
+                      nonneg: bool = False):
     """Fused plane-sweep: Pallas forward + hand-derived scatter-free VJP.
 
     The automask NLL treats pi/sigma as constants by definition (reference
@@ -1471,28 +1487,29 @@ def fused_plane_sweep(src_t, target_t, logits_t, sigma_t, shift, mask,
     return sweep_forward(src_t, target_t, logits_t, sigma_t, shift, mask,
                          pad=pad, rows=rows, interpret=interpret,
                          n_vertical=n_vertical, with_disp=with_disp,
-                         gp_taps=gp_taps, with_auto=with_auto)
+                         gp_taps=gp_taps, with_auto=with_auto,
+                         nonneg=nonneg)
 
 
 def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
              interpret, n_vertical, image_grads, with_disp, rows, gp_taps,
-             with_auto):
+             with_auto, nonneg):
     # pad ONCE: the padded operands are saved as residuals so the
     # backward never re-materializes the ls/src halo buffers
-    padr, slack = _v1_geom(pad, gp_taps)
-    src_p = _pad_w(src_t, padr, slack)
-    ls_p = _pad_w(_interleave_ls(logits_t, sigma_t), padr, slack)
+    padr, slack, lpad = _v1_geom(pad, gp_taps, nonneg)
+    src_p = _pad_lr_v1(src_t, lpad, padr + slack)
+    ls_p = _pad_lr_v1(_interleave_ls(logits_t, sigma_t), lpad, padr + slack)
     out = _fwd_call(src_p, target_t, ls_p, shift, mask,
                     pad=pad, rows=rows, interpret=interpret,
                     n_vertical=n_vertical, with_disp=with_disp,
                     gp_taps=gp_taps, with_stats=True, pre_padded=True,
-                    with_auto=with_auto)
+                    with_auto=with_auto, nonneg=nonneg)
     out, stats = tuple(out[:-1]), out[-1]
     return out, (src_p, target_t, ls_p, shift, mask, stats, out[0])
 
 
 def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
-             gp_taps, with_auto, res, cts):
+             gp_taps, with_auto, nonneg, res, cts):
     src_p, target_t, ls_p, shift, mask, stats, rgb = res
     ldt = sdt = ls_p.dtype       # logits/sigma arrive interleave-promoted
     cts = [x.astype(F32) for x in cts]
@@ -1504,7 +1521,7 @@ def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
         pad=pad, rows=rows, interpret=interpret,
         n_vertical=n_vertical, image_grads=image_grads, with_disp=with_disp,
         gp_taps=gp_taps, packed_grads=False, pre_padded=True,
-        with_auto=with_auto,
+        with_auto=with_auto, nonneg=nonneg,
     )
     return (d_src, d_tgt, d_log.astype(ldt), d_sig.astype(sdt),
             d_shift.astype(shift.dtype), jnp.zeros_like(mask))
@@ -1514,12 +1531,13 @@ fused_plane_sweep.defvjp(_fps_fwd, _fps_bwd)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def fused_plane_sweep_packed(src_t, target_t, ls, shift, mask,
                              pad: int, interpret: bool = False,
                              n_vertical: int = 0, image_grads: bool = True,
                              with_disp: bool = False, rows: int = 8,
-                             gp_taps: int = 0, with_auto: bool = True):
+                             gp_taps: int = 0, with_auto: bool = True,
+                             nonneg: bool = False):
     """:func:`fused_plane_sweep` on a PRE-INTERLEAVED head buffer ``ls``
     ``(B, 2N, H, W)`` (logits at 2n, sigma at 2n+1).
 
@@ -1532,27 +1550,27 @@ def fused_plane_sweep_packed(src_t, target_t, ls, shift, mask,
     return sweep_forward_packed(
         src_t, target_t, ls, shift, mask, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps, with_auto=with_auto,
+        gp_taps=gp_taps, with_auto=with_auto, nonneg=nonneg,
     )
 
 
 def _fpsp_fwd(src_t, target_t, ls, shift, mask, pad, interpret, n_vertical,
-              image_grads, with_disp, rows, gp_taps, with_auto):
+              image_grads, with_disp, rows, gp_taps, with_auto, nonneg):
     # pad ONCE (see _fps_fwd)
-    padr, slack = _v1_geom(pad, gp_taps)
-    src_p = _pad_w(src_t, padr, slack)
-    ls_p = _pad_w(ls, padr, slack)
+    padr, slack, lpad = _v1_geom(pad, gp_taps, nonneg)
+    src_p = _pad_lr_v1(src_t, lpad, padr + slack)
+    ls_p = _pad_lr_v1(ls, lpad, padr + slack)
     out = _fwd_call(src_p, target_t, ls_p, shift, mask,
                     pad=pad, rows=rows, interpret=interpret,
                     n_vertical=n_vertical, with_disp=with_disp,
                     gp_taps=gp_taps, with_stats=True, pre_padded=True,
-                    with_auto=with_auto)
+                    with_auto=with_auto, nonneg=nonneg)
     out, stats = tuple(out[:-1]), out[-1]
     return out, (src_p, target_t, ls_p, shift, mask, stats, out[0])
 
 
 def _fpsp_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
-              gp_taps, with_auto, res, cts):
+              gp_taps, with_auto, nonneg, res, cts):
     src_p, target_t, ls_p, shift, mask, stats, rgb = res
     cts = [x.astype(F32) for x in cts]
     di = 3 if with_auto else 2
@@ -1563,6 +1581,7 @@ def _fpsp_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
         pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
         image_grads=image_grads, with_disp=with_disp, gp_taps=gp_taps,
         packed_grads=True, pre_padded=True, with_auto=with_auto,
+        nonneg=nonneg,
     )
     return (d_src, d_tgt, d_ls.astype(ls_p.dtype),
             d_shift.astype(shift.dtype), jnp.zeros_like(mask))

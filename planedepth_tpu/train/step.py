@@ -450,6 +450,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
                 *a, pad, interpret, n_vertical,
                 False,               # image_grads: images are never diffed
                 with_disp, cfg.sweep_rows, cfg.sweep_gp_taps, with_auto,
+                True,                # nonneg: shifts are disparities >= 0
             ),
             in_rows=(2, 2) + (2,) * len(head_operands) + (1, 1),
             out_rows=(2, 1) + ((1,) if with_auto else ())

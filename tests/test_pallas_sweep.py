@@ -538,3 +538,80 @@ def test_with_auto_off_parity(with_disp):
     for name, rg, gg in zip(("d_log", "d_sig", "d_shift"), g_ref, g_got):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_nonneg_parity_v1():
+    """nonneg=True (production disparities >= 0: zero left halo,
+    asymmetric pad-once residuals) matches the default signed mode on
+    nonnegative shifts — outputs and gradients."""
+    src, tgt, logits, sigma, shift, mask = _inputs()
+    shift = jnp.abs(shift)
+
+    def run(nonneg, logits, sigma, shift):
+        return fused_plane_sweep(
+            src, tgt, logits, sigma, shift, mask,
+            PAD, True, 0, False, True, 4, 0, True, nonneg,
+        )
+
+    ref = run(False, logits, sigma, shift)
+    got = run(True, logits, sigma, shift)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"output {i}")
+
+    rng = np.random.default_rng(9)
+    ws = [jnp.asarray(rng.standard_normal(np.asarray(o).shape)
+                      .astype(np.float32)) for o in got]
+
+    def loss(nonneg, logits, sigma, shift):
+        return sum(jnp.sum(w * o) for w, o in
+                   zip(ws, run(nonneg, logits, sigma, shift)))
+
+    g_ref = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2))(
+        logits, sigma, shift)
+    g_got = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2))(
+        logits, sigma, shift)
+    for name, rg, gg in zip(("d_log", "d_sig", "d_shift"), g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+def test_nonneg_gp_taps_parity_v1():
+    """nonneg with the ground-plane taps path (the PladeNet production
+    configuration: per-row shifts, gp_taps > 0)."""
+    src, tgt, logits, sigma, _, mask = _inputs()
+    rng = np.random.default_rng(31)
+    rows_ = np.arange(H, dtype=np.float32)[None, :, None]
+    shift = jnp.asarray(
+        rng.uniform(0.0, 4.0, (B, 1, N)).astype(np.float32)
+        + rng.uniform(0.05, 0.4, (B, 1, N)).astype(np.float32) * rows_)
+
+    def run(nonneg, logits, sigma, shift):
+        return fused_plane_sweep(
+            src, tgt, logits, sigma, shift, mask,
+            PAD, True, 0, False, True, 4, 4, True, nonneg,
+        )
+
+    ref = run(False, logits, sigma, shift)
+    got = run(True, logits, sigma, shift)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"output {i}")
+
+    rng2 = np.random.default_rng(12)
+    ws = [jnp.asarray(rng2.standard_normal(np.asarray(o).shape)
+                      .astype(np.float32)) for o in got]
+
+    def loss(nonneg, logits, sigma, shift):
+        return sum(jnp.sum(w * o) for w, o in
+                   zip(ws, run(nonneg, logits, sigma, shift)))
+
+    g_ref = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2))(
+        logits, sigma, shift)
+    g_got = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2))(
+        logits, sigma, shift)
+    for name, rg, gg in zip(("d_log", "d_sig", "d_shift"), g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
