@@ -643,7 +643,7 @@ def _bwd_kernel(
         dMa = -gA_ * (Ma > 0) / (jnp.maximum(Ma, 0.0) + 1e-7)
         dsrc_ref[...] = jnp.zeros((3, R, W), F32)
         dtgt_ref[...] = jnp.zeros((3, R, W), F32)
-    # pad regions stay zero: the stagings below only write [pad, pad+W)
+    # halo regions stay zero: the stagings below only write [gpad, gpad+W)
     g_scr[...] = jnp.zeros((3, R, WG), F32)
 
     def plane_grads(sample_lsd, sample_cd, n):
@@ -816,16 +816,9 @@ def _bwd_kernel(
         dtgt_ref[...] += -t_auto
 
 
-def _pad_w(x, pad, slack=128):
-    """Zero-pad the trailing W axis: ``pad`` left, ``pad + slack`` right
-    (the slack is window room for the dynamic lane roll: 128 for the
-    per-row windows, 256 when the ground-plane taps path is on)."""
-    cfg = [(0, 0)] * (x.ndim - 1) + [(pad, pad + slack)]
-    return jnp.pad(x, cfg)
-
-
-def _pad_lr_v1(x, lpad, rpad):
-    """Zero-pad the trailing W axis asymmetrically."""
+def _pad_lr(x, lpad, rpad):
+    """Zero-pad the trailing W axis asymmetrically (left halo only in the
+    signed mode; window-roll slack rides the right side)."""
     cfg = [(0, 0)] * (x.ndim - 1) + [(lpad, rpad)]
     return jnp.pad(x, cfg)
 
@@ -941,8 +934,8 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
         src_p, ls_p = src_t, ls
         assert ls_p.shape[-1] == Wp, (ls_p.shape, Wp)
     else:
-        src_p = _pad_lr_v1(src_t, lpad, pad + slack)
-        ls_p = _pad_lr_v1(ls, lpad, pad + slack)
+        src_p = _pad_lr(src_t, lpad, pad + slack)
+        ls_p = _pad_lr(ls, lpad, pad + slack)
 
     kernel = functools.partial(
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
@@ -1097,8 +1090,8 @@ def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
         src_p, ls_p = src_t, ls
         assert ls_p.shape[-1] == Wp, (ls_p.shape, Wp)
     else:
-        src_p = _pad_lr_v1(src_t, lpad, pad + slack)
-        ls_p = _pad_lr_v1(ls, lpad, pad + slack)
+        src_p = _pad_lr(src_t, lpad, pad + slack)
+        ls_p = _pad_lr(ls, lpad, pad + slack)
 
     kernel = functools.partial(
         _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
@@ -1497,21 +1490,25 @@ def _fps_fwd(src_t, target_t, logits_t, sigma_t, shift, mask, pad,
     # pad ONCE: the padded operands are saved as residuals so the
     # backward never re-materializes the ls/src halo buffers
     padr, slack, lpad = _v1_geom(pad, gp_taps, nonneg)
-    src_p = _pad_lr_v1(src_t, lpad, padr + slack)
-    ls_p = _pad_lr_v1(_interleave_ls(logits_t, sigma_t), lpad, padr + slack)
+    src_p = _pad_lr(src_t, lpad, padr + slack)
+    ls_p = _pad_lr(_interleave_ls(logits_t, sigma_t), lpad, padr + slack)
     out = _fwd_call(src_p, target_t, ls_p, shift, mask,
                     pad=pad, rows=rows, interpret=interpret,
                     n_vertical=n_vertical, with_disp=with_disp,
                     gp_taps=gp_taps, with_stats=True, pre_padded=True,
                     with_auto=with_auto, nonneg=nonneg)
     out, stats = tuple(out[:-1]), out[-1]
-    return out, (src_p, target_t, ls_p, shift, mask, stats, out[0])
+    # zero-size dtype carriers: d_log/d_sig must match the (possibly
+    # mixed) primal dtypes, not the interleave-promoted ls dtype
+    l0 = jnp.zeros((), logits_t.dtype)
+    s0 = jnp.zeros((), sigma_t.dtype)
+    return out, (src_p, target_t, ls_p, shift, mask, stats, out[0], l0, s0)
 
 
 def _fps_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
              gp_taps, with_auto, nonneg, res, cts):
-    src_p, target_t, ls_p, shift, mask, stats, rgb = res
-    ldt = sdt = ls_p.dtype       # logits/sigma arrive interleave-promoted
+    src_p, target_t, ls_p, shift, mask, stats, rgb, l0, s0 = res
+    ldt, sdt = l0.dtype, s0.dtype
     cts = [x.astype(F32) for x in cts]
     di = 3 if with_auto else 2
     g_disp = cts[di] if with_disp else None
@@ -1558,8 +1555,8 @@ def _fpsp_fwd(src_t, target_t, ls, shift, mask, pad, interpret, n_vertical,
               image_grads, with_disp, rows, gp_taps, with_auto, nonneg):
     # pad ONCE (see _fps_fwd)
     padr, slack, lpad = _v1_geom(pad, gp_taps, nonneg)
-    src_p = _pad_lr_v1(src_t, lpad, padr + slack)
-    ls_p = _pad_lr_v1(ls, lpad, padr + slack)
+    src_p = _pad_lr(src_t, lpad, padr + slack)
+    ls_p = _pad_lr(ls, lpad, padr + slack)
     out = _fwd_call(src_p, target_t, ls_p, shift, mask,
                     pad=pad, rows=rows, interpret=interpret,
                     n_vertical=n_vertical, with_disp=with_disp,

@@ -61,7 +61,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from planedepth_tpu.ops.pallas_sweep import _online_e
+from planedepth_tpu.ops.pallas_sweep import _online_e, _pad_lr
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -83,12 +83,6 @@ def _quad_lpad(pad2: int, nonneg: bool) -> int:
     it (~20% of the padded ls buffer).  Signed mode keeps the symmetric
     pad."""
     return 0 if nonneg else pad2
-
-
-def _pad_lr(x, lpad: int, rpad: int):
-    """Zero-pad the trailing W axis asymmetrically."""
-    cfg = [(0, 0)] * (x.ndim - 1) + [(lpad, rpad)]
-    return jnp.pad(x, cfg)
 
 
 def _mk_q(shift_ref, mask_ref, src_ref, ls_ref, Rq, W2, pad2, n2, gp_taps):
@@ -745,7 +739,7 @@ def sweep_forward_quad(srcq, tgtq, lsq, shift2, mask2,
                        pad: int, rows: int = 16, interpret: bool = False,
                        n_vertical: int = 0, with_disp: bool = False,
                        gp_taps: int = 0, with_stats: bool = False,
-                       nonneg: bool = False, with_auto: bool = True):
+                       with_auto: bool = True, nonneg: bool = False):
     """Quad forward kernel invocation.
 
     Args:
@@ -967,7 +961,7 @@ def fused_plane_sweep_quad(srcq, tgtq, lsq, shift2, mask2,
                            pad: int, interpret: bool = False,
                            n_vertical: int = 0, with_disp: bool = False,
                            rows: int = 16, gp_taps: int = 0,
-                           nonneg: bool = False, with_auto: bool = True):
+                           with_auto: bool = True, nonneg: bool = False):
     """Quad plane-sweep: Pallas forward + hand-derived phase-split VJP.
 
     The production path for the s2d decoder tail: zero full-resolution
@@ -982,7 +976,7 @@ def fused_plane_sweep_quad(srcq, tgtq, lsq, shift2, mask2,
 
 
 def _fpsq_fwd(srcq, tgtq, lsq, shift2, mask2, pad, interpret, n_vertical,
-              with_disp, rows, gp_taps, nonneg, with_auto):
+              with_disp, rows, gp_taps, with_auto, nonneg):
     # Pad ONCE: the padded operands are saved as residuals so the
     # backward never re-materializes the ~2x ls halo buffer.
     pad2 = _quad_pad(pad, gp_taps)
@@ -1000,8 +994,8 @@ def _fpsq_fwd(srcq, tgtq, lsq, shift2, mask2, pad, interpret, n_vertical,
     return out, (src_p, tgtq, ls_p, shift2, mask2, stats, out[0])
 
 
-def _fpsq_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps, nonneg,
-              with_auto, res, cts):
+def _fpsq_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps,
+              with_auto, nonneg, res, cts):
     src_p, tgtq, ls_p, shift2, mask2, stats, rgb = res
     # the nll_auto cotangent (cts[2] when with_auto) is dropped: pi/sigma
     # are constants in the automask branch (reference trainer.py:733) and

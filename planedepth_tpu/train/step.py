@@ -420,11 +420,15 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         # with_auto only when the recipe automasks — otherwise the kernel
         # skips the automask mixture (one exp per plane per pixel).
         with_auto = cfg.loss.automask
+        # nonneg is correct-by-construction: the fused path only serves
+        # target side 'r' (fused_sweep_ok), whose shifts are disparities
+        # >= 0; a future signed-shift variant must pass nonneg=False
+        nonneg = tuple(cfg.target_sides) == ("r",)
         sweep = shard_kernel(
             lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad(
                 s_, t_, sigma_head(l_, 1), sh_, m_,
                 pad, interpret, n_vertical, with_disp,
-                2 * cfg.sweep_rows, cfg.sweep_gp_taps, True, with_auto,
+                2 * cfg.sweep_rows, cfg.sweep_gp_taps, with_auto, nonneg,
             ),
             in_rows=(2, 2, 2, 2, 2),
             out_rows=(2, 2) + ((2,) if with_auto else ())
@@ -444,13 +448,14 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     else:
         src_t, tgt_t, head_operands = v1_operands()
         with_auto = cfg.loss.automask
+        nonneg = tuple(cfg.target_sides) == ("r",)   # see quad branch
         fps = fused_plane_sweep_packed if packed else fused_plane_sweep
         sweep = shard_kernel(
             lambda *a: fps(
                 *a, pad, interpret, n_vertical,
                 False,               # image_grads: images are never diffed
                 with_disp, cfg.sweep_rows, cfg.sweep_gp_taps, with_auto,
-                True,                # nonneg: shifts are disparities >= 0
+                nonneg,
             ),
             in_rows=(2, 2) + (2,) * len(head_operands) + (1, 1),
             out_rows=(2, 1) + ((1,) if with_auto else ())

@@ -120,7 +120,7 @@ def check_quad(n_vertical=49, gp_taps=8, rows=8, interpret=False):
         o = q.fused_plane_sweep_quad(
             srcq, tgtq, pack_ls(ls_), q.split_rows(sh_),
             q.split_rows(mask), pad, interpret, n_vertical, False,
-            rows, gp_taps, True)
+            rows, gp_taps, True, True)
         return (jnp.moveaxis(q.d2s_quad(o[0]), -1, 1),
                 q.d2s_quad(o[1])[..., 0], q.d2s_quad(o[2])[..., 0])
 
@@ -236,7 +236,7 @@ def timeit_quad(B=8, n_vertical=49, gp_taps=8, rows=8):
         o = q.sweep_forward_quad(srcq, tgtq, l_, sh2, m2, pad=pad,
                                  rows=2 * rows, n_vertical=n_vertical,
                                  with_disp=True, gp_taps=gp_taps,
-                                 nonneg=True)
+                                 with_auto=False, nonneg=True)
         return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
 
     float(jax.device_get(fwd_probe(jnp.float32(0))))           # compile
@@ -248,7 +248,7 @@ def timeit_quad(B=8, n_vertical=49, gp_taps=8, rows=8):
         lsq_ = lsq_ + dummy.astype(lsq_.dtype) * 0
         o = q.fused_plane_sweep_quad(
             srcq, tgtq, lsq_, sh_, m2, pad, False, n_vertical, True,
-            2 * rows, gp_taps, True)
+            2 * rows, gp_taps, False, True)   # with_auto=False, nonneg
         return sum(jnp.sum(x.astype(jnp.float32)) for x in o)
 
     gr = jax.jit(jax.value_and_grad(loss, argnums=(1, 2)))

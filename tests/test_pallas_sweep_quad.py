@@ -66,7 +66,7 @@ def _quad(src, tgt, ls, shift, mask, nv, with_disp, nonneg=False):
     out = q.fused_plane_sweep_quad(
         src_q, tgt_q, _pack_ls(ls), q.split_rows(shift),
         q.split_rows(mask), PAD, True, nv, with_disp, ROWS, GP_TAPS,
-        nonneg,
+        True, nonneg,
     )
     rgb = jnp.moveaxis(q.d2s_quad(out[0]), -1, 1)
     nll = q.d2s_quad(out[1])[..., 0]
@@ -191,6 +191,7 @@ def test_nonneg_window_extent_boundary():
     out = q.fused_plane_sweep_quad(
         src_q, tgt_q, _pack_ls(ls), q.split_rows(shift_j),
         q.split_rows(mask), PAD, True, NV, False, ROWS, GP_TAPS, True,
+        True,
     )
     got = (jnp.moveaxis(q.d2s_quad(out[0]), -1, 1),
            _d2s_scalar(out[1]), _d2s_scalar(out[2]))
@@ -215,7 +216,7 @@ def test_no_auto_parity(with_disp):
         return q.fused_plane_sweep_quad(
             src_q, tgt_q, _pack_ls(ls_), q.split_rows(shift_),
             q.split_rows(mask), PAD, True, NV, with_disp, ROWS, GP_TAPS,
-            False, with_auto,
+            with_auto, False,
         )
 
     ref = run(True, ls, shift)
