@@ -230,6 +230,14 @@ class TrainConfig:
     # (3 each way at HR batch 8) leave the step entirely.  Requires
     # sweep_gp_taps > 0; falls back to the v1 kernels otherwise.
     sweep_quad: bool = True
+    # the quad kernel's ground-plane tap bound.  Its row blocks span
+    # 2*sweep_rows = 16 FULL-RES rows (Mosaic needs >= 8 half-res
+    # sublanes), so the per-block integer-shift spread bound is the
+    # 16-row one: measured worst case 14 px at the production presets
+    # (tests/test_pallas_sweep.py::test_gp_spread's worst16).  Using the
+    # 8-row bound here silently CLIPS the tap grid and mis-samples the
+    # ground planes (caught by scripts/validate_sweep_tpu.py check_quad).
+    sweep_gp_taps_quad: int = 14
 
     def __post_init__(self):
         if self.loss.use_mom and not self.flip_right:

@@ -384,10 +384,10 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
             )
         return src_t, tgt_t, heads
 
+    interpret = jax.default_backend() != "tpu"   # CPU tests: interpret mode
+
     shift = outputs["disp_rows"]                    # target 'r': x + disp
     mask_rows = outputs["padding_mask"][:, :, 0, :]
-
-    interpret = jax.default_backend() != "tpu"   # CPU tests: interpret mode
     # under a GSPMD mesh the pallas_call must be shard_mapped over the
     # batch (and spatial) axes — plain jit would all-gather + replicate it
     # on every device (parallel/shard.py)
@@ -404,8 +404,15 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     use_quad = (
         packed
         and cfg.sweep_quad
-        and cfg.sweep_gp_taps > 0
+        and cfg.sweep_gp_taps_quad > 0
         and (source.shape[1] // 2) % cfg.sweep_rows == 0
+        # Mosaic's dynamic_rotate requires the half-res window (W/2 + 128
+        # halo) to be lane-aligned; at W % 256 != 0 (e.g. stage-1 low-res
+        # 640: W/2 = 320 -> 448-wide windows) the quad kernel fails to
+        # compile on real TPU.  Fall back to the packed v1 kernel, whose
+        # full-res windows are aligned for any W % 128 == 0.  Interpret
+        # mode (CPU tests, multichip dryrun) has no alignment constraint.
+        and (interpret or source.shape[2] % 256 == 0)
     )
     if use_quad:
         from planedepth_tpu.ops import pallas_sweep_quad as psq
@@ -428,7 +435,10 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
             lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad(
                 s_, t_, sigma_head(l_, 1), sh_, m_,
                 pad, interpret, n_vertical, with_disp,
-                2 * cfg.sweep_rows, cfg.sweep_gp_taps, with_auto, nonneg,
+                # NOT cfg.sweep_gp_taps: quad blocks span 2*sweep_rows
+                # full-res rows, needing the 16-row spread bound (14)
+                2 * cfg.sweep_rows, cfg.sweep_gp_taps_quad, with_auto,
+                nonneg,
             ),
             in_rows=(2, 2, 2, 2, 2),
             out_rows=(2, 2) + ((2,) if with_auto else ())

@@ -86,14 +86,19 @@ def check(n_vertical=49):
                   f"ref|max|={np.abs(b).max():.3e}")
 
 
-def check_quad(n_vertical=49, gp_taps=8, rows=8, interpret=False):
+def check_quad(n_vertical=49, gp_taps=14, rows=16, interpret=False,
+               nonneg=True, with_auto=True):
     """Validate the phase-split (quad) kernel on hardware vs the dense
     oracle: forward outputs + d_log/d_sig/d_shift through the packing
     bijection (ops/pallas_sweep_quad.py; CPU parity lives in
     tests/test_pallas_sweep_quad.py — this is the real-TPU leg)."""
     from planedepth_tpu.ops import pallas_sweep_quad as q
 
-    B, H, W, N = 2, 64, 640, 63
+    # W must satisfy the quad path's alignment precondition (W % 256 == 0:
+    # half-res windows of W/2 + 128 lanes stay 128-aligned for Mosaic's
+    # dynamic_rotate) — the production guard in train/step.py enforces the
+    # same bound and falls back to the v1 kernel otherwise.
+    B, H, W, N = 2, 64, 768, 63
     args = make(B, H, W, N, n_vertical=n_vertical)
     src, tgt, log, sig, shift, mask = args
     pad = 64
@@ -116,18 +121,22 @@ def check_quad(n_vertical=49, gp_taps=8, rows=8, interpret=False):
             B, 8 * N, H // 2, W // 2)
 
     def quad_full(ls_, sh_):
-        # nonneg=True: the production mode (shifts here are uniform >= 0)
+        # nonneg=True is the production mode (shifts here are uniform >= 0)
         o = q.fused_plane_sweep_quad(
             srcq, tgtq, pack_ls(ls_), q.split_rows(sh_),
             q.split_rows(mask), pad, interpret, n_vertical, False,
-            rows, gp_taps, True, True)
-        return (jnp.moveaxis(q.d2s_quad(o[0]), -1, 1),
-                q.d2s_quad(o[1])[..., 0], q.d2s_quad(o[2])[..., 0])
+            rows, gp_taps, with_auto, nonneg)
+        outs = (jnp.moveaxis(q.d2s_quad(o[0]), -1, 1),
+                q.d2s_quad(o[1])[..., 0])
+        if with_auto:
+            outs += (q.d2s_quad(o[2])[..., 0],)
+        return outs
 
+    tag = f"quad gp{gp_taps} nn{int(nonneg)} au{int(with_auto)}"
     out_k = jax.jit(quad_full)(ls, shift)
     for name, a, b in zip(("rgb", "nll", "nll_auto"), out_k, out_o):
         a, b = np.asarray(a), np.asarray(b)
-        print(f"[quad gp{gp_taps}] fwd {name}: maxabs={np.abs(a-b).max():.3e}")
+        print(f"[{tag}] fwd {name}: maxabs={np.abs(a-b).max():.3e}")
 
     def scal_q(ls_, sh_):
         return sum(jnp.sum(x * y) for x, y in zip(quad_full(ls_, sh_), g))
@@ -139,7 +148,7 @@ def check_quad(n_vertical=49, gp_taps=8, rows=8, interpret=False):
         ("shift", np.asarray(gsh), np.asarray(go[2])),
     )
     for name, a, b in pairs:
-        print(f"[quad gp{gp_taps}] grad {name}: maxabs={np.abs(a-b).max():.3e} "
+        print(f"[{tag}] grad {name}: maxabs={np.abs(a-b).max():.3e} "
               f"ref|max|={np.abs(b).max():.3e}")
 
 
@@ -199,7 +208,7 @@ def timeit_shapes(B=8, n_vertical=49, gp_taps=8, rows=8):
     print(f"fwd+bwd: {dt*1e3:.2f} ms")
 
 
-def timeit_quad(B=8, n_vertical=49, gp_taps=8, rows=8):
+def timeit_quad(B=8, n_vertical=49, gp_taps=14, rows=8):
     """Time the PRODUCTION (quad, nonneg, with_disp) kernels at the
     stage-1 HR shape — fwd alone and fwd+grad through the custom VJP."""
     from planedepth_tpu.ops import pallas_sweep_quad as q
@@ -268,7 +277,13 @@ if __name__ == "__main__":
     if mode == "check":
         check()
     elif mode == "check_quad":
-        check_quad()
+        # check_quad [nonneg] [with_auto] [gp_taps] — bisect flags for
+        # hardware-vs-interpret divergences
+        check_quad(
+            nonneg=bool(int(sys.argv[2])) if len(sys.argv) > 2 else True,
+            with_auto=bool(int(sys.argv[3])) if len(sys.argv) > 3 else True,
+            gp_taps=int(sys.argv[4]) if len(sys.argv) > 4 else 14,
+        )
     elif mode == "time_quad":
         timeit_quad()
     else:

@@ -307,3 +307,56 @@ def test_window_extent_boundary_parity():
             np.asarray(g, np.float32), np.asarray(r, np.float32),
             rtol=2e-5, atol=2e-5, err_msg=f"output {i}",
         )
+
+
+def test_production_rows16_gp_spread_parity():
+    """REGRESSION (r3): the production quad call spans 2*sweep_rows = 16
+    full-res rows per block, so its ground-plane integer-shift spread can
+    reach the 16-row bound (14 px, test_gp_spread's worst16) — far above
+    the v1 8-row bound (8).  Passing the v1 taps value silently CLIPS the
+    tap grid (row_onehots' d_vec clip) and mis-samples every ground plane
+    with production-magnitude slopes (~0.8 px/row).  This pins the
+    production configuration: rows=16, gp_taps=sweep_gp_taps_quad=14."""
+    from planedepth_tpu.config import TrainConfig
+
+    cfg = TrainConfig()
+    B, H, W, N, NV = 2, 32, 64, 6, 2
+    rng = np.random.RandomState(3)
+    src = (rng.rand(B, 3, H, W)).astype(np.float32)
+    tgt = (rng.rand(B, 3, H, W)).astype(np.float32)
+    logits = rng.randn(B, N, H, W).astype(np.float32)
+    sigma = (0.05 + 0.9 / (1 + np.exp(-rng.randn(B, N, H, W)))).astype(
+        np.float32)
+    ls = jnp.asarray(np.stack([logits, sigma], 2).reshape(B, 2 * N, H, W))
+    shift = np.zeros((B, H, N), np.float32)
+    shift[:, :, :NV] = rng.uniform(0, 10, (B, 1, NV))
+    rows = np.arange(H, dtype=np.float32)[None, :, None]
+    # production-magnitude ground-plane slopes: spread over a 16-row
+    # block in (8, 14] — inside the quad bound, outside the v1 one
+    slope = rng.uniform(0.6, 0.85, (B, 1, N - NV))
+    shift[:, :, NV:] = rng.uniform(0, 4, (B, 1, N - NV)) + slope * rows
+    mask = np.ones((B, H, N), np.float32)
+    mask[:, H // 2:, NV] = 0.0
+    src, tgt = jnp.asarray(src), jnp.asarray(tgt)
+    shift_j, mask_j = jnp.asarray(shift), jnp.asarray(mask)
+
+    pad = int(shift.max()) + 8
+    # reference: v1 kernel at its own production geometry (8-row blocks)
+    ref = fused_plane_sweep_packed(
+        src, tgt, ls, shift_j, mask_j, pad, True, NV, False, False,
+        cfg.sweep_rows, cfg.sweep_gp_taps,
+    )
+    src_q = q.s2d_image(jnp.moveaxis(src, 1, -1))
+    tgt_q = q.s2d_image(jnp.moveaxis(tgt, 1, -1))
+    out = q.fused_plane_sweep_quad(
+        src_q, tgt_q, _pack_ls(ls), q.split_rows(shift_j),
+        q.split_rows(mask_j), pad, True, NV, False,
+        2 * cfg.sweep_rows, cfg.sweep_gp_taps_quad, True, True,
+    )
+    got = (jnp.moveaxis(q.d2s_quad(out[0]), -1, 1),
+           _d2s_scalar(out[1]), _d2s_scalar(out[2]))
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=2e-5, atol=2e-5, err_msg=f"output {i}",
+        )
