@@ -227,8 +227,11 @@ class TrainConfig:
     # phase-split (quad) sweep kernel: when the s2d decoder tail is active
     # the kernel consumes the space-to-depth head layout DIRECTLY
     # (ops/pallas_sweep_quad.py) — the ~1 GB plane-first repack copies
-    # (3 each way at HR batch 8) leave the step entirely.  Requires
-    # sweep_gp_taps > 0; falls back to the v1 kernels otherwise.
+    # (3 each way at HR batch 8) leave the step entirely.  Gated on
+    # sweep_gp_taps_quad > 0 (the quad kernel has no per-row gp fallback);
+    # falls back to the v1 kernels otherwise.  NOTE: sweep_gp_taps=0 (the
+    # v1 per-row gp path) deliberately does NOT disable the quad path —
+    # set sweep_quad=False to force the v1 kernels.
     sweep_quad: bool = True
     # the quad kernel's ground-plane tap bound.  Its row blocks span
     # 2*sweep_rows = 16 FULL-RES rows (Mosaic needs >= 8 half-res
@@ -238,6 +241,12 @@ class TrainConfig:
     # 8-row bound here silently CLIPS the tap grid and mis-samples the
     # ground planes (caught by scripts/validate_sweep_tpu.py check_quad).
     sweep_gp_taps_quad: int = 14
+    # apply the quad kernel's real-TPU W % 256 lane-alignment guard in
+    # interpret mode too, so CPU tests / the multichip dryrun trace the
+    # SAME kernel selection a real TPU would make for the given width
+    # (default False: interpret mode has no alignment constraint, and the
+    # small test widths stand in for the aligned production HR width)
+    sweep_quad_strict_align: bool = False
 
     def __post_init__(self):
         if self.loss.use_mom and not self.flip_right:

@@ -411,8 +411,11 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         # 640: W/2 = 320 -> 448-wide windows) the quad kernel fails to
         # compile on real TPU.  Fall back to the packed v1 kernel, whose
         # full-res windows are aligned for any W % 128 == 0.  Interpret
-        # mode (CPU tests, multichip dryrun) has no alignment constraint.
-        and (interpret or source.shape[2] % 256 == 0)
+        # mode (CPU tests, multichip dryrun) has no alignment constraint;
+        # sweep_quad_strict_align applies the guard there too so a dryrun
+        # traces the same kernel selection as hardware.
+        and ((interpret and not cfg.sweep_quad_strict_align)
+             or source.shape[2] % 256 == 0)
     )
     if use_quad:
         from planedepth_tpu.ops import pallas_sweep_quad as psq

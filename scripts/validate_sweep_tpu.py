@@ -103,6 +103,11 @@ def check_quad(n_vertical=49, gp_taps=14, rows=16, interpret=False,
     src, tgt, log, sig, shift, mask = args
     pad = 64
     out_o = oracle_dense(*args)
+    if not with_auto:
+        # the kernel emits only (rgb, nll): the oracle's nll_auto must not
+        # contribute to the gradient cotangents either, or the grad columns
+        # print spurious divergences during a flag bisection
+        out_o = out_o[:2]
     g = [jnp.ones_like(o) for o in out_o]
 
     def scal_o(*a5):
