@@ -307,7 +307,8 @@ class DepthDecoder(nn.Module):
             return s2d.depth_to_space(head_conv_s2d(features, name))
 
         n_logits = all_levels - 1 if self.render_probability else all_levels
-        if use_s2d and self.fused_sweep_loss and train:
+        if (use_s2d and self.fused_sweep_loss and train
+                and self.use_mixture_loss):
             # fused-sweep training with the s2d tail: ONE merged head conv
             # whose output channels interleave dispconv/sigmaconv at the
             # WEIGHT level (within each s2d phase block, channel 2c is

@@ -49,7 +49,7 @@ F32 = jnp.float32
 
 
 def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
-                   gp_taps=0):
+                   gp_taps=0, ls_stride=2):
     """Shared in-kernel sampling helpers.
 
     Three variants per quantity: ``*_vec`` exploits row-constant shifts
@@ -75,9 +75,16 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
     ``ls_ref`` is the INTERLEAVED plane-head buffer ``(2N, R, Wp)`` with
     logits at ``2n`` and sigma at ``2n+1`` — one dynamic window + one roll
     fetches both heads (halves the slicing work vs separate buffers).
+    ``ls_stride=1`` (the ``with_mixture=False`` mode) selects a
+    LOGITS-ONLY ``(N, R, Wp)`` buffer: sigma is the literal constant 1.0
+    (returned as a python float so the kernel math constant-folds) and
+    the sigma tap difference is 0.0 — this is what makes the no-mixture
+    softmax composite exact at image borders, where a warped all-ones
+    sigma tensor would shrink under the zeros padding.
     """
     WQ = W + 128
     WT = W + 256            # taps window: residual <128 + S+1 tap slack
+    CS = ls_stride
 
     def taps(r, n):
         s = shift_ref[r, n]
@@ -93,14 +100,14 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
     # tap1 = [1:W+1] (start - q <= 127, so start - q + W + 1 <= WQ)
     def window2_ls_row(n, r, start):
         q, amt = roll_amt(start)
-        win = ls_ref[pl.ds(2 * n, 2), pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
-        rolled = pltpu.roll(win, amt, axis=2)              # (2, 1, WQ)
+        win = ls_ref[pl.ds(CS * n, CS), pl.ds(r, 1), pl.ds(q, WQ)].astype(F32)
+        rolled = pltpu.roll(win, amt, axis=2)              # (CS, 1, WQ)
         return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
 
     def window2_ls_vec(n, start):
         q, amt = roll_amt(start)
-        win = ls_ref[pl.ds(2 * n, 2), :, pl.ds(q, WQ)].astype(F32)
-        rolled = pltpu.roll(win, amt, axis=2)              # (2, R, WQ)
+        win = ls_ref[pl.ds(CS * n, CS), :, pl.ds(q, WQ)].astype(F32)
+        rolled = pltpu.roll(win, amt, axis=2)              # (CS, R, WQ)
         return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
 
     def window2_c_row(r, start):
@@ -116,8 +123,10 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
         return rolled[:, :, :W], rolled[:, :, 1 : W + 1]
 
     def _ls_blend(t0, t1, f, m):
-        ls = (1.0 - f) * t0 + f * t1                       # (2, ., W)
+        ls = (1.0 - f) * t0 + f * t1                       # (CS, ., W)
         l = ls[0] * m
+        if CS == 1:
+            return l, 1.0                                  # unit sigma
         s = jnp.clip(ls[1] * m, 0.01, 1.0)
         return l, s
 
@@ -129,8 +138,10 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
             t0, t1 = window2_ls_row(n, r, p)
             l, s = _ls_blend(t0, t1, f, m)
             l_rows.append(l)
-            s_rows.append(s)
-        return (jnp.concatenate(l_rows, 0), jnp.concatenate(s_rows, 0))
+            if CS == 2:
+                s_rows.append(s)
+        return (jnp.concatenate(l_rows, 0),
+                jnp.concatenate(s_rows, 0) if CS == 2 else 1.0)
 
     def sample_ls_vec(n):
         p, f = taps(0, n)
@@ -167,10 +178,13 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
             l_rows.append(l)
             s_rows.append(s)
             ld_rows.append(d[0])
-            sd_rows.append(d[1])
+            if CS == 2:
+                sd_rows.append(d[1])
         return (
-            jnp.concatenate(l_rows, 0), jnp.concatenate(s_rows, 0),
-            jnp.concatenate(ld_rows, 0), jnp.concatenate(sd_rows, 0),
+            jnp.concatenate(l_rows, 0),
+            jnp.concatenate(s_rows, 0) if CS == 2 else 1.0,
+            jnp.concatenate(ld_rows, 0),
+            jnp.concatenate(sd_rows, 0) if CS == 2 else 0.0,
         )
 
     def sample_lsd_vec(n):
@@ -179,7 +193,7 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
         t0, t1 = window2_ls_vec(n, p)
         l, s = _ls_blend(t0, t1, f, m)
         d = (t1 - t0) * m
-        return l, s, d[0], d[1]
+        return l, s, d[0], (d[1] if CS == 2 else 0.0)
 
     def sample_cd_rows(n):
         rows_c, rows_cd = [], []
@@ -279,7 +293,7 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
 
     def window_taps_ls(n, base_i):
         return window_taps(
-            lambda q: ls_ref[pl.ds(2 * n, 2), :, pl.ds(q, WT)],
+            lambda q: ls_ref[pl.ds(CS * n, CS), :, pl.ds(q, WT)],
             pad + base_i,
         )
 
@@ -292,8 +306,10 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
         kmin, _ = k_extreme(n)
         f_vec, eq = row_onehots(n, kmin)
         rolled = window_taps_ls(n, kmin.astype(jnp.int32))
-        ls = taps_combine(rolled, tap_w(f_vec, eq))    # (2, R, W)
+        ls = taps_combine(rolled, tap_w(f_vec, eq))    # (CS, R, W)
         m = _row_col(mask_ref, n, R)
+        if CS == 1:
+            return ls[0] * m, 1.0
         return ls[0] * m, jnp.clip(ls[1] * m, 0.01, 1.0)
 
     def sample_c_taps(n):
@@ -310,6 +326,8 @@ def _make_samplers(shift_ref, mask_ref, src_ref, ls_ref, R, W, pad,
         rolled = window_taps_ls(n, kmin.astype(jnp.int32))
         ls, lsd = taps_combine2(rolled, tap_w(f_vec, eq), tap_d(eq))
         m = _row_col(mask_ref, n, R)
+        if CS == 1:
+            return ls[0] * m, 1.0, lsd[0] * m, 0.0
         return (ls[0] * m, jnp.clip(ls[1] * m, 0.01, 1.0),
                 lsd[0] * m, lsd[1] * m)
 
@@ -371,6 +389,7 @@ def _fwd_kernel(
     gp_taps: int = 0,
     with_stats: bool = False,
     with_auto: bool = True,
+    with_mixture: bool = True,
 ):
     refs = list(refs)
     stats_ref = refs.pop() if with_stats else None
@@ -385,8 +404,17 @@ def _fwd_kernel(
     NV = n_vertical
     WQ = W + 128            # aligned window: residual lane shift < 128
 
+    # with_mixture=False (no-mixture recipes: FalNet, L1-on-composite
+    # ablations — reference fal_net.py:199-205, trainer.py:738): the ls
+    # operand is LOGITS-ONLY (N, R, Wp), sigma is the literal 1.0, so the
+    # composite weight e_n / s_n IS the softmax weight and the center
+    # disp head is the plain softmax expectation (no mask re-weighting —
+    # matching the no-mixture decoder, models/depth_decoder.py softmax
+    # path).  nll is still emitted (a valid b=1 Laplacian NLL) purely to
+    # keep the output plumbing shared; its cotangent is zero in training.
     sm = _make_samplers(
-        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad, gp_taps=gp_taps
+        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad, gp_taps=gp_taps,
+        ls_stride=2 if with_mixture else 1,
     )
     sample_ls_vec, sample_c_vec = sm.ls_vec, sm.c_vec
     sample_ls_g = sm.ls_taps if gp_taps else sm.ls_rows
@@ -397,6 +425,8 @@ def _fwd_kernel(
         straight from the resident (bf16) ls block both passes instead of
         f32 scratch round-trips."""
         m = _row_col(mask_ref, n, R)
+        if not with_mixture:
+            return ls_ref[n, :, pl.ds(pad, W)].astype(F32) * m, 1.0
         l0 = ls_ref[2 * n, :, pl.ds(pad, W)].astype(F32) * m
         s0 = jnp.clip(
             ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32), 0.01, 1.0
@@ -444,7 +474,13 @@ def _fwd_kernel(
             mx0, se0, us0, ud0 = carry[nh : nh + 4]
             l0, s0 = center_ls(n)
             corr0, e0_n, mx0 = _online_e(l0, mx0)
-            u0_n = e0_n * _row_col(mask_ref, n, R) / s0
+            # no-mixture disp head: plain softmax expectation — no mask
+            # re-weighting (the operand logits are already masked), no
+            # sigma (models/depth_decoder.py no-mixture disp contraction)
+            u0_n = (
+                e0_n * _row_col(mask_ref, n, R) / s0
+                if with_mixture else e0_n
+            )
             head = head + (mx0, se0 * corr0 + u0_n * s0,
                            us0 * corr0 + u0_n,
                            ud0 * corr0 + u0_n * _row_col(shift_ref, n, R))
@@ -524,6 +560,7 @@ def _bwd_kernel(
     gp_taps: int = 0,
     packed_grads: bool = False,
     with_auto: bool = True,
+    with_mixture: bool = True,
 ):
     """Adjoint of _fwd_kernel, same slicing structure, scatter-free.
 
@@ -561,7 +598,8 @@ def _bwd_kernel(
         refs = refs[2:]
     else:
         dsrc_ref = dtgt_ref = None
-    if packed_grads:
+    if packed_grads or not with_mixture:
+        # no-mixture mode has no sigma input, hence no d_sigma output
         dlog_ref, dshift_ref, g_scr = refs
         dsig_ref = None
     else:
@@ -575,7 +613,8 @@ def _bwd_kernel(
     WG = W + 2 * gpad + (256 if gp_taps else 128)
 
     sm = _make_samplers(
-        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad, gp_taps=gp_taps
+        shift_ref, mask_ref, src_ref, ls_ref, R, W, pad, gp_taps=gp_taps,
+        ls_stride=2 if with_mixture else 1,
     )
     sample_lsd_vec, sample_cd_vec = sm.lsd_vec, sm.cd_vec
     sample_lsd_g = sm.lsd_taps if gp_taps else sm.lsd_rows
@@ -594,6 +633,8 @@ def _bwd_kernel(
         """CENTER (unshifted) head samples for the fused disp head,
         straight from the resident ls block (bf16 in production)."""
         m = _row_col(mask_ref, n, R)
+        if not with_mixture:
+            return ls_ref[n, :, pl.ds(pad, W)].astype(F32) * m, None
         l0 = ls_ref[2 * n, :, pl.ds(pad, W)].astype(F32) * m
         s0_raw = ls_ref[2 * n + 1, :, pl.ds(pad, W)].astype(F32)
         return l0, s0_raw
@@ -662,11 +703,14 @@ def _bwd_kernel(
         dl_n = pi_n * (dpi_n - S)
         dlap_n = dM * pi_n
         de_n = dlap_n * lap_n * (-1.0 / s_n)
-        ds_n = (
-            -du_n * pi_n / (s_n * s_n)
-            + dlap_n * lap_n * (e_n - s_n) / (s_n * s_n)
-        )
-        ds_gate = ds_n * ((s_n > 0.01) & (s_n < 1.0))
+        if with_mixture:
+            ds_n = (
+                -du_n * pi_n / (s_n * s_n)
+                + dlap_n * lap_n * (e_n - s_n) / (s_n * s_n)
+            )
+            ds_gate = ds_n * ((s_n > 0.01) & (s_n < 1.0))
+        else:
+            ds_gate = 0.0        # sigma is the constant 1.0: no gradient
         sgn = jnp.sign(c_n - tgt)
         dc_n = G * wgt_n[None] + sgn * (de_n / 3.0)[None]
         dEa_n = None
@@ -685,19 +729,26 @@ def _bwd_kernel(
             m = _row_col(mask_ref, n, R)
             l0, s0_raw = center_ls(n)
             p0_n = jnp.exp(l0 - L0)
-            s0_n = jnp.clip(s0_raw, 0.01, 1.0)
             du0 = g_over_u0 * (_row_col(shift_ref, n, R) - disp0)
-            dp0 = du0 * m / s0_n
-            dl0_n = p0_n * dp0          # softmax coupling S0 == 0
-            # clip pass-through gate on the RAW center sigma: outside
-            # (0.01, 1) the forward is flat, so d_sigma there is 0
-            gate0 = (s0_raw > 0.01) & (s0_raw < 1.0)
-            ds0_n = -du0 * p0_n * m / (s0_n * s0_n) * gate0
-            # shift doubles as the per-plane disparity d_n: its cotangent
-            # gains the disp-head term sum_x g/U0 * u0
-            dshift_r = dshift_r + jnp.sum(
-                g_over_u0 * p0_n * m / s0_n, axis=1
-            )
+            if with_mixture:
+                s0_n = jnp.clip(s0_raw, 0.01, 1.0)
+                dp0 = du0 * m / s0_n
+                dl0_n = p0_n * dp0      # softmax coupling S0 == 0
+                # clip pass-through gate on the RAW center sigma: outside
+                # (0.01, 1) the forward is flat, so d_sigma there is 0
+                gate0 = (s0_raw > 0.01) & (s0_raw < 1.0)
+                ds0_n = -du0 * p0_n * m / (s0_n * s0_n) * gate0
+                # shift doubles as the per-plane disparity d_n: its
+                # cotangent gains the disp-head term sum_x g/U0 * u0
+                dshift_r = dshift_r + jnp.sum(
+                    g_over_u0 * p0_n * m / s0_n, axis=1
+                )
+            else:
+                # plain softmax expectation (no mask/sigma re-weighting
+                # of the WEIGHTS, but l0 = ls * m still chains the mask
+                # into the raw-logits cotangent)
+                dl0_n = p0_n * du0 * m
+                dshift_r = dshift_r + jnp.sum(g_over_u0 * p0_n, axis=1)
         return dl_n, ds_gate, dc_n, dshift_r, dl0_n, ds0_n, dEa_n
 
     def carry_out(dEa, dEa_n):
@@ -706,12 +757,16 @@ def _bwd_kernel(
     def center_add(back_l, back_s, dl0_n, ds0_n):
         if not with_disp:
             return back_l, back_s
+        if ds0_n is None:
+            return back_l + dl0_n, back_s
         return back_l + dl0_n, back_s + ds0_n
 
     def emit_ls(n, bl, bs):
         if packed_grads:
             dlog_ref[2 * n] = bl.astype(dlog_ref.dtype)
             dlog_ref[2 * n + 1] = bs.astype(dlog_ref.dtype)
+        elif not with_mixture:
+            dlog_ref[n] = bl.astype(dlog_ref.dtype)
         else:
             dlog_ref[n] = bl.astype(dlog_ref.dtype)
             dsig_ref[n] = bs.astype(dsig_ref.dtype)
@@ -720,6 +775,8 @@ def _bwd_kernel(
         if packed_grads:
             dlog_ref[2 * n, pl.ds(r, 1)] = bl.astype(dlog_ref.dtype)
             dlog_ref[2 * n + 1, pl.ds(r, 1)] = bs.astype(dlog_ref.dtype)
+        elif not with_mixture:
+            dlog_ref[n, pl.ds(r, 1)] = bl.astype(dlog_ref.dtype)
         else:
             dlog_ref[n, pl.ds(r, 1)] = bl.astype(dlog_ref.dtype)
             dsig_ref[n, pl.ds(r, 1)] = bs.astype(dsig_ref.dtype)
@@ -738,7 +795,8 @@ def _bwd_kernel(
             g_scr[:, :, pl.ds(gpad, W)] = dc_n * m
             dsrc_ref[...] += g_back_vec(rev, f)
         g_scr[0, :, pl.ds(gpad, W)] = dl_n * m
-        g_scr[1, :, pl.ds(gpad, W)] = ds_g * m
+        if with_mixture:
+            g_scr[1, :, pl.ds(gpad, W)] = ds_g * m
         back2 = g_back_vec(rev, f)
         bl, bs = center_add(back2[0], back2[1], dl0_n, ds0_n)
         emit_ls(n, bl, bs)
@@ -762,13 +820,14 @@ def _bwd_kernel(
         for r in range(R):
             m = mask_ref[r, n]
             g_scr[0, pl.ds(r, 1), pl.ds(gpad, W)] = dl_n[r : r + 1] * m
-            g_scr[1, pl.ds(r, 1), pl.ds(gpad, W)] = ds_g[r : r + 1] * m
+            if with_mixture:
+                g_scr[1, pl.ds(r, 1), pl.ds(gpad, W)] = ds_g[r : r + 1] * m
         for r in range(R):
             p, f = taps(r, n)
             back = g_back(r, gpad + pad - p, f)
             if with_disp:
                 bl = back[0] + dl0_n[r : r + 1]
-                bs = back[1] + ds0_n[r : r + 1]
+                bs = (back[1] + ds0_n[r : r + 1]) if with_mixture else None
             else:
                 bl, bs = back[0], back[1]
             emit_ls_row(n, r, bl, bs)
@@ -799,9 +858,11 @@ def _bwd_kernel(
             g_scr[:, :, pl.ds(gpad, W)] = dc_n * m_vec
             dsrc_ref[...] += g_back_taps(3)
         g_scr[0, :, pl.ds(gpad, W)] = dl_n * m_vec
-        g_scr[1, :, pl.ds(gpad, W)] = ds_g * m_vec
-        back = g_back_taps(2)
-        bl, bs = center_add(back[0], back[1], dl0_n, ds0_n)
+        if with_mixture:
+            g_scr[1, :, pl.ds(gpad, W)] = ds_g * m_vec
+        back = g_back_taps(2 if with_mixture else 1)
+        bl, bs = center_add(back[0], back[1] if with_mixture else None,
+                            dl0_n, ds0_n)
         emit_ls(n, bl, bs)
         return carry_out(dEa, dEa_n)
 
@@ -908,9 +969,11 @@ def _v1_geom(pad: int, gp_taps: int, nonneg: bool = False):
 
 def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
               n_vertical, with_disp, gp_taps, with_stats=False,
-              pre_padded=False, with_auto=True, nonneg=False):
+              pre_padded=False, with_auto=True, nonneg=False,
+              with_mixture=True):
     B, _, H, W = target_t.shape
-    N = ls.shape[1] // 2
+    cs = 2 if with_mixture else 1
+    N = ls.shape[1] // cs
     R = rows
     assert H % R == 0, (H, R)
     # pad to a multiple of 128 so static slices stay lane-aligned, +128
@@ -941,6 +1004,7 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
         _fwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
         pad=lpad, with_disp=with_disp, gp_taps=gp_taps,
         with_stats=with_stats, with_auto=with_auto,
+        with_mixture=with_mixture,
     )
 
     row_spec = pl.BlockSpec((None, R, W), lambda b, h: (b, h, 0),
@@ -982,8 +1046,8 @@ def _fwd_call(src_t, target_t, ls, shift, mask, *, pad, rows, interpret,
                          memory_space=pltpu.VMEM),         # src (padded)
             pl.BlockSpec((None, 3, R, W), lambda b, h: (b, 0, h, 0),
                          memory_space=pltpu.VMEM),         # target
-            pl.BlockSpec((None, 2 * N, R, Wp), lambda b, h: (b, 0, h, 0),
-                         memory_space=pltpu.VMEM),         # logits|sigma
+            pl.BlockSpec((None, cs * N, R, Wp), lambda b, h: (b, 0, h, 0),
+                         memory_space=pltpu.VMEM),         # logits[|sigma]
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1076,10 +1140,11 @@ def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
               g_rgb, g_nll, g_nla, g_disp,
               *, pad, rows, interpret, n_vertical, image_grads, with_disp,
               gp_taps, packed_grads, pre_padded=False, with_auto=True,
-              nonneg=False):
+              nonneg=False, with_mixture=True):
     assert pad > 0, "pad is required (>= max |shift| + 1)"
     B, _, H, W = target_t.shape
-    N = ls.shape[1] // 2
+    cs = 2 if with_mixture else 1
+    N = ls.shape[1] // cs
     R = rows
     pad, slack, lpad = _v1_geom(pad, gp_taps, nonneg)
     Wp = W + lpad + pad + slack
@@ -1097,6 +1162,7 @@ def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
         _bwd_kernel, n_planes=N, n_vertical=n_vertical, rows=R, width=W,
         pad=lpad, gpad=pad, image_grads=image_grads, with_disp=with_disp,
         gp_taps=gp_taps, packed_grads=packed_grads, with_auto=with_auto,
+        with_mixture=with_mixture,
     )
 
     def vspec(shape_prefix, Wd):
@@ -1128,6 +1194,9 @@ def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
     if packed_grads:
         head_specs = [vspec((2 * N, R), W)]                # d_ls interleaved
         head_shapes = [jax.ShapeDtypeStruct((B, 2 * N, H, W), ls.dtype)]
+    elif not with_mixture:
+        head_specs = [vspec((N, R), W)]                    # d_log only
+        head_shapes = [jax.ShapeDtypeStruct((B, N, H, W), ls.dtype)]
     else:
         head_specs = [vspec((N, R), W), vspec((N, R), W)]  # d_log, d_sig
         head_shapes = [jax.ShapeDtypeStruct((B, N, H, W), ls.dtype)] * 2
@@ -1137,7 +1206,7 @@ def _bwd_call(src_t, target_t, ls, shift, mask, stats, rgb,
         in_specs=[
             smem_spec, smem_spec,
             vspec((3, R), Wp), vspec((3, R), W),
-            vspec((2 * N, R), Wp),
+            vspec((cs * N, R), Wp),
         ] + ct_specs,
         out_specs=img_specs + head_specs + [
             vspec((N, R), 128),          # d_shift (broadcast lanes)
@@ -1585,3 +1654,98 @@ def _fpsp_bwd(pad, interpret, n_vertical, image_grads, with_disp, rows,
 
 
 fused_plane_sweep_packed.defvjp(_fpsp_fwd, _fpsp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# No-mixture (softmax-composite) variant: FalNet / use_mixture_loss=False
+# ---------------------------------------------------------------------------
+
+def oracle_softmax(src_t, target_t, logits_t, shift, mask):
+    """Differentiable dense reference of the NO-MIXTURE sweep.
+
+    Softmax compositing over the warped masked logits (reference
+    fal_net.py:199-205; trainer.py:593,603 with use_mixture_loss off)
+    plus the center expected-disparity head (softmax over the center
+    logits, no mask/sigma re-weighting — depth_decoder.py's no-mixture
+    disp contraction).  Returns (rgb (B,3,H,W), disp (B,H,W))."""
+    B, _, H, W = src_t.shape
+    N = logits_t.shape[1]
+    l_list, c_list = [], []
+    for n in range(N):
+        k, f = _sample_taps(shift[:, :, n], W)
+        m = mask[:, :, n][:, None, :, None]
+        l_list.append(
+            (_shift_gather(
+                jax.lax.dynamic_slice_in_dim(logits_t, n, 1, 1), k, f, W
+            ) * m)[:, 0]
+        )
+        c_list.append(_shift_gather(src_t, k, f, W) * m)
+    l = jnp.stack(l_list, 1)                              # (B,N,H,W)
+    c = jnp.stack(c_list, 1)                              # (B,N,3,H,W)
+    p = jax.nn.softmax(l, axis=1)
+    rgb = (p[:, :, None] * c).sum(1)
+    lc = logits_t.astype(F32) * jnp.moveaxis(mask, -1, 1)[..., None]
+    pc = jax.nn.softmax(lc, axis=1)
+    disp = (pc * jnp.moveaxis(shift, -1, 1)[..., None].astype(F32)).sum(1)
+    return rgb, disp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def fused_plane_sweep_nomix(src_t, target_t, logits_t, shift, mask,
+                            pad: int, interpret: bool = False,
+                            n_vertical: int = 0, with_disp: bool = False,
+                            rows: int = 8, gp_taps: int = 0,
+                            nonneg: bool = False):
+    """No-mixture fused plane sweep: LOGITS-ONLY operand, sigma == 1.
+
+    The composite weight e_n / s_n degenerates to the softmax weight, so
+    the rgb output is exactly the reference's softmax composite
+    (fal_net.py:199-205) — including at image borders, where warping an
+    all-ones sigma tensor through the zeros padding would NOT stay 1.
+    The L1 photometric (and automask) is assembled by the caller from the
+    composite; the nll output (b=1 Laplacian) is emitted only to share
+    the kernel plumbing and carries no cotangent in training.  Images are
+    never differentiated (the train-step configuration): their cotangents
+    return zero.
+
+    Returns (rgb (B,3,H,W) input-dtype, nll (B,H,W) f32 [, disp]).
+    """
+    return _fwd_call(
+        src_t, target_t, logits_t, shift, mask, pad=pad, rows=rows,
+        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
+        gp_taps=gp_taps, with_auto=False, nonneg=nonneg, with_mixture=False,
+    )
+
+
+def _fpsn_fwd(src_t, target_t, logits_t, shift, mask, pad, interpret,
+              n_vertical, with_disp, rows, gp_taps, nonneg):
+    padr, slack, lpad = _v1_geom(pad, gp_taps, nonneg)
+    src_p = _pad_lr(src_t, lpad, padr + slack)
+    l_p = _pad_lr(logits_t, lpad, padr + slack)
+    out = _fwd_call(src_p, target_t, l_p, shift, mask,
+                    pad=pad, rows=rows, interpret=interpret,
+                    n_vertical=n_vertical, with_disp=with_disp,
+                    gp_taps=gp_taps, with_stats=True, pre_padded=True,
+                    with_auto=False, nonneg=nonneg, with_mixture=False)
+    out, stats = tuple(out[:-1]), out[-1]
+    return out, (src_p, target_t, l_p, shift, mask, stats, out[0])
+
+
+def _fpsn_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps,
+              nonneg, res, cts):
+    src_p, target_t, l_p, shift, mask, stats, rgb = res
+    cts = [x.astype(F32) for x in cts]
+    g_disp = cts[2] if with_disp else None
+    d_src, d_tgt, d_log, d_shift = _bwd_call(
+        src_p, target_t, l_p, shift, mask, stats, rgb,
+        cts[0], cts[1], None, g_disp,
+        pad=pad, rows=rows, interpret=interpret, n_vertical=n_vertical,
+        image_grads=False, with_disp=with_disp, gp_taps=gp_taps,
+        packed_grads=False, pre_padded=True, with_auto=False,
+        nonneg=nonneg, with_mixture=False,
+    )
+    return (d_src, d_tgt, d_log.astype(l_p.dtype),
+            d_shift.astype(shift.dtype), jnp.zeros_like(mask))
+
+
+fused_plane_sweep_nomix.defvjp(_fpsn_fwd, _fpsn_bwd)

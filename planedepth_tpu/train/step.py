@@ -316,7 +316,9 @@ def fused_sweep_ok(cfg: TrainConfig) -> bool:
     return (
         cfg.fused_sweep
         and cfg.warp_type == "disp_warp"
-        and cfg.model.use_mixture_loss
+        # use_mixture_loss=False (FalNet / L1-on-composite ablations)
+        # rides the LOGITS-ONLY no-mixture kernel variant
+        # (ops/pallas_sweep.fused_plane_sweep_nomix)
         and not cfg.model.render_probability
         and not cfg.loss.use_mom
         and cfg.model.planes.yz_levels == 0
@@ -372,11 +374,18 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         With the s2d merged head (decoder interleaved dispconv/sigmaconv
         channels at the weight level) ONE transpose builds the
         (B, 2N, H, W) `ls` operand.  The quad kernel path skips all of
-        this — it consumes the s2d layout directly."""
+        this — it consumes the s2d layout directly.
+
+        No-mixture recipes (FalNet, use_mixture_loss=False ablations)
+        have no sigma head: the LOGITS-ONLY no-mixture kernel variant
+        (ops/pallas_sweep.fused_plane_sweep_nomix) takes just the logits
+        operand and uses sigma == 1 internally."""
         src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
         tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
         if packed:
             heads = (plane_first(sigma_head(outputs["ls_s2d"], -1)),)
+        elif not cfg.model.use_mixture_loss:
+            heads = (jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1),)
         else:
             heads = (
                 jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1),
@@ -460,16 +469,36 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
             disp = outputs["disp"]
     else:
         src_t, tgt_t, head_operands = v1_operands()
-        with_auto = cfg.loss.automask
+        # no-mixture: the kernel's nll/nll_auto are mixture quantities —
+        # the L1 photometric (and its automask) is assembled OUTSIDE from
+        # the composite, so the kernel skips the automask mixture
+        with_auto = cfg.loss.automask and cfg.model.use_mixture_loss
         nonneg = tuple(cfg.target_sides) == ("r",)   # see quad branch
-        fps = fused_plane_sweep_packed if packed else fused_plane_sweep
-        sweep = shard_kernel(
-            lambda *a: fps(
+        if not cfg.model.use_mixture_loss:
+            from planedepth_tpu.ops.pallas_sweep import (
+                fused_plane_sweep_nomix,
+            )
+
+            fps = lambda *a: fused_plane_sweep_nomix(
+                *a, pad, interpret, n_vertical, with_disp,
+                cfg.sweep_rows, cfg.sweep_gp_taps, nonneg,
+            )
+        elif packed:
+            fps = lambda *a: fused_plane_sweep_packed(
                 *a, pad, interpret, n_vertical,
                 False,               # image_grads: images are never diffed
                 with_disp, cfg.sweep_rows, cfg.sweep_gp_taps, with_auto,
                 nonneg,
-            ),
+            )
+        else:
+            fps = lambda *a: fused_plane_sweep(
+                *a, pad, interpret, n_vertical,
+                False,               # image_grads: images are never diffed
+                with_disp, cfg.sweep_rows, cfg.sweep_gp_taps, with_auto,
+                nonneg,
+            )
+        sweep = shard_kernel(
+            fps,
             in_rows=(2, 2) + (2,) * len(head_operands) + (1, 1),
             out_rows=(2, 1) + ((1,) if with_auto else ())
             + ((1,) if with_disp else ()),
@@ -485,18 +514,33 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
             disp = outputs["disp"]
         rgb_rec = jnp.moveaxis(rgb_t, 1, -1)
 
-    ph = nll
-    if cfg.loss.automask:
-        ph = jnp.minimum(ph, nll_auto)
     mask_novel = outputs.get("mask_novel")
-    if mask_novel is not None:
-        if use_quad:
-            from planedepth_tpu.ops.pallas_sweep_quad import s2d_image
+    if cfg.model.use_mixture_loss:
+        ph = nll
+        if cfg.loss.automask:
+            ph = jnp.minimum(ph, nll_auto)
+        if mask_novel is not None:
+            if use_quad:
+                from planedepth_tpu.ops.pallas_sweep_quad import s2d_image
 
-            ph = ph * s2d_image(mask_novel, ph.dtype)
-        else:
-            ph = ph * mask_novel
-    ph_loss = jnp.mean(ph)
+                ph = ph * s2d_image(mask_novel, ph.dtype)
+            else:
+                ph = ph * mask_novel
+        ph_loss = jnp.mean(ph)
+    else:
+        # L1 on the composite (reference trainer.py:738 via
+        # compute_losses), with the mask_novel blend and automask min
+        # applied exactly as the oracle does (train/losses.py:119-154)
+        pred_ph = rgb_rec.astype(jnp.float32)
+        if mask_novel is not None:
+            pred_ph = pred_ph * mask_novel + target * (1.0 - mask_novel)
+        ph = jnp.mean(jnp.abs(pred_ph - target), axis=-1, keepdims=True)
+        if cfg.loss.automask:
+            ph = jnp.minimum(
+                ph,
+                jnp.mean(jnp.abs(source - target), axis=-1, keepdims=True),
+            )
+        ph_loss = jnp.mean(ph)
 
     losses = {"loss/ph_loss": ph_loss, "loss/pc_loss": 0.0}
     total = ph_loss

@@ -18,15 +18,15 @@ H, W = 64, 96
 
 
 def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
-         automask=True):
+         automask=True, net_type="ResNet", mixture=True, xz_levels=3):
     return TrainConfig(
         batch_size=2,
         flip_right=True,
         model=ModelConfig(
-            net_type="ResNet", num_layers=18, use_denseaspp=False,
-            use_mixture_loss=True, plane_residual=True, num_ep=0,
+            net_type=net_type, num_layers=18, use_denseaspp=False,
+            use_mixture_loss=mixture, plane_residual=True, num_ep=0,
             planes=PlaneConfig(disp_levels=7, disp_min=2, disp_max=24,
-                               xz_levels=3, yz_levels=0),
+                               xz_levels=xz_levels, yz_levels=0),
             s2d_tail=s2d,
         ),
         loss=LossConfig(alpha_pc=alpha_pc, automask=automask),
@@ -41,8 +41,9 @@ def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
 
 
 def _one_step(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
-              automask=True):
-    cfg = _cfg(fused, s2d, quad, alpha_pc, pc_s2d, automask)
+              automask=True, net_type="ResNet", mixture=True, xz_levels=3):
+    cfg = _cfg(fused, s2d, quad, alpha_pc, pc_s2d, automask, net_type,
+               mixture, xz_levels)
     bundle = ModelBundle(cfg)
     params, stats, pc_params = bundle.init(jax.random.PRNGKey(0), H, W)
     tx = make_optimizer(cfg, 10)
@@ -152,3 +153,35 @@ def test_fused_pladenet_step_matches_oracle_step():
     emits the same plane-head outputs, so its stereo training also rides
     the kernel on TPU — pinned here against its oracle step."""
     _assert_steps_match(_plade_step(True), _plade_step(False))
+
+
+def test_falnet_fused_step_matches_oracle_step():
+    """FalNet (no mixture head, softmax compositing + L1 photometric,
+    reference networks/fal_net.py:199-205, trainer.py:738) rides the
+    LOGITS-ONLY no-mixture kernel variant: sigma is the literal 1.0
+    inside the kernel so the composite weight IS the softmax weight, and
+    the L1 + automask are assembled outside the kernel."""
+    _assert_steps_match(
+        _one_step(True, net_type="FalNet", mixture=False, xz_levels=0),
+        _one_step(False, net_type="FalNet", mixture=False, xz_levels=0),
+    )
+
+
+def test_no_mixture_resnet_fused_step_matches_oracle_step():
+    """use_mixture_loss=False ablation on the ResNet stack (L1 on the
+    composite) WITH ground planes (real padding masks): fused == oracle,
+    including the kernel-computed disp head (the no-mixture decoder
+    emits no disp in fused mode)."""
+    _assert_steps_match(
+        _one_step(True, mixture=False),
+        _one_step(False, mixture=False),
+    )
+
+
+def test_no_mixture_no_automask_fused_matches_oracle():
+    """No-mixture + automask=False: the kernel runs with_auto=False and
+    the plain L1 has no identity-reprojection min."""
+    _assert_steps_match(
+        _one_step(True, mixture=False, xz_levels=0, automask=False),
+        _one_step(False, mixture=False, xz_levels=0, automask=False),
+    )

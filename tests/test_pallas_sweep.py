@@ -615,3 +615,61 @@ def test_nonneg_gp_taps_parity_v1():
     for name, rg, gg in zip(("d_log", "d_sig", "d_shift"), g_ref, g_got):
         np.testing.assert_allclose(np.asarray(gg), np.asarray(rg),
                                    rtol=1e-6, atol=1e-6, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# No-mixture (softmax-composite) kernel variant
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("gp_taps", [0, 8])
+def test_nomix_forward_and_vjp_match_softmax_oracle(gp_taps):
+    """fused_plane_sweep_nomix (LOGITS-ONLY operand, sigma == 1) == the
+    dense softmax-composite oracle, forward AND gradients, on both the
+    per-row and the row-vectorized ground-plane paths — including real
+    padding masks and image borders (where the old all-ones-sigma idea
+    breaks: a warped ones tensor shrinks under the zeros padding)."""
+    from planedepth_tpu.ops.pallas_sweep import (
+        fused_plane_sweep_nomix, oracle_softmax,
+    )
+
+    rng = np.random.default_rng(5)
+    Bq, Hq, Wq, Nq, NV = 2, 16, 256, 7, 4
+    src = jnp.asarray(rng.uniform(0, 1, (Bq, 3, Hq, Wq)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (Bq, 3, Hq, Wq)).astype(np.float32))
+    log = jnp.asarray(rng.standard_normal((Bq, Nq, Hq, Wq)).astype(np.float32))
+    base = rng.uniform(0, 8, (Bq, 1, Nq)).astype(np.float32)
+    slope = rng.uniform(0, 0.5, (Bq, 1, Nq)).astype(np.float32)
+    rr = np.arange(Hq, dtype=np.float32)[None, :, None]
+    shift_np = base + slope * rr
+    shift_np[:, :, :NV] = np.broadcast_to(
+        rng.uniform(0, 8, (Bq, 1, NV)), (Bq, Hq, NV))
+    shift = jnp.asarray(shift_np)
+    mask_np = (rng.uniform(0, 1, (Bq, Hq, Nq)) > 0.3).astype(np.float32)
+    mask_np[:, :, :NV] = 1.0
+    mask = jnp.asarray(mask_np)
+    pad = 16
+
+    rgb_o, disp_o = oracle_softmax(src, tgt, log, shift, mask)
+    out = fused_plane_sweep_nomix(
+        src, tgt, log, shift, mask, pad, True, NV, True, 8, gp_taps, True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(rgb_o),
+                               atol=2e-6, err_msg="rgb")
+    np.testing.assert_allclose(np.asarray(out[2]), np.asarray(disp_o),
+                               atol=5e-6, err_msg="disp")
+
+    def loss_k(log_, sh_):
+        o = fused_plane_sweep_nomix(
+            src, tgt, log_, sh_, mask, pad, True, NV, True, 8, gp_taps, True)
+        return (jnp.sum(jnp.abs(o[0].astype(jnp.float32) - tgt))
+                + 0.3 * jnp.sum(o[2] * o[2]))
+
+    def loss_o(log_, sh_):
+        rgb, disp = oracle_softmax(src, tgt, log_, sh_, mask)
+        return jnp.sum(jnp.abs(rgb - tgt)) + 0.3 * jnp.sum(disp * disp)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(log, shift)
+    go = jax.grad(loss_o, argnums=(0, 1))(log, shift)
+    for name, a, b in zip(("d_log", "d_shift"), gk, go):
+        scale = float(jnp.abs(b).max())
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4 * max(scale, 1.0), err_msg=name)
