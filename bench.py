@@ -55,7 +55,8 @@ def _enable_compile_cache():
 def run_bench(per_step_batch: int, remat: bool = False,
               remat_warp: bool = False, fused: bool = False,
               n_timed: int = 10, alpha_pc: float = 0.0,
-              pc_remat: bool = True, height: int = H, width: int = W):
+              pc_remat: bool = True, height: int = H, width: int = W,
+              mono: bool = False):
     import jax
 
     _enable_compile_cache()
@@ -69,15 +70,21 @@ def run_bench(per_step_batch: int, remat: bool = False,
     )
     import jax.numpy as jnp
 
+    # mono: the reference's monocular recipe shape (homography_warp +
+    # pose nets + automask, options.py:94-112) at the stage-1 resolution;
+    # rides the fused warp2d kernel (train/mono.py)
+    novel = (-1, 1) if mono else ()
     cfg = TrainConfig(
-        batch_size=2 * per_step_batch,
-        flip_right=True,
+        batch_size=(1 if mono else 2) * per_step_batch,
+        flip_right=not mono,
+        warp_type="homography_warp" if mono else "disp_warp",
+        novel_frame_ids=novel,
         model=ModelConfig(net_type="ResNet", num_layers=50, remat=remat),
         # alpha_pc=0.1 is the reference's DEFAULT stage-1 recipe
         # (options.py:70-73; trainer.py:672-685 runs 2-3 VGG19 forwards
         # per side every step).  allow_random_pc uses a random-weight
         # VGG19 — identical FLOP/memory cost to the ImageNet one.
-        loss=LossConfig(alpha_pc=alpha_pc),
+        loss=LossConfig(alpha_pc=alpha_pc, automask=mono),
         pc_remat=pc_remat,
         data=DataConfig(height=height, width=width),
         optim=OptimConfig(learning_rate=1e-4),
@@ -95,7 +102,8 @@ def run_bench(per_step_batch: int, remat: bool = False,
     batch = {
         k: jnp.asarray(v)
         for k, v in make_stereo_batch(per_step_batch, height, width,
-                                      seed=0).items()
+                                      seed=0,
+                                      novel_frame_ids=novel).items()
     }
     rng = jax.random.PRNGKey(0)
 
@@ -168,14 +176,18 @@ def main():
     if len(sys.argv) > 1:
         pb = int(sys.argv[1])
         opts = set(sys.argv[2:])
+        mono = "mono" in opts
         imgs_per_sec, loss, mfu = run_bench(
             pb, remat="remat" in opts, remat_warp="remat_warp" in opts,
             fused="fused" in opts,
             alpha_pc=ALPHA_PC_FULL if "pc" in opts else 0.0,
             pc_remat="pc_noremat" not in opts,
+            height=192 if mono else H, width=640 if mono else W,
+            mono=mono,
         )
         print(json.dumps({
-            "metric": "train_imgs_per_sec_per_chip_1280x384",
+            "metric": ("train_imgs_per_sec_per_chip_640x192_mono" if mono
+                       else "train_imgs_per_sec_per_chip_1280x384"),
             "value": round(imgs_per_sec, 3),
             "unit": "imgs/s/chip",
             "vs_baseline": round(imgs_per_sec / NAIVE_PORT_IMGS_PER_SEC, 2),

@@ -247,6 +247,29 @@ class TrainConfig:
     # (default False: interpret mode has no alignment constraint, and the
     # small test widths stand in for the aligned production HR width)
     sweep_quad_strict_align: bool = False
+    # fused 2-D warp kernel (ops/pallas_warp2d.py): the TPU path for the
+    # monocular homography_warp / depth_warp modes.  Tap-window bounds
+    # cover the per-tile integer displacement spread; cost is linear in
+    # (sx + 2) * (sy + 2) per plane.  The spread is zoom-dominated and
+    # geometric in the plane index, so the production path probes the
+    # exact warp geometry at warp2d_tz_env envelope poses and
+    # DP-partitions the planes into warp2d_groups contiguous ranges with
+    # per-group bounds (train/mono.py:warp2d_plan) — near planes pay
+    # wide windows, the far bulk stays cheap.  Poses beyond the envelope
+    # clamp to the window edge (tests/test_pallas_warp2d.py pins the
+    # spread statistics).
+    warp2d_groups: int = 3
+    # forward-motion envelope in model units (0.1 = one stereo baseline
+    # = 0.54 m/frame ~ 19 km/h at KITTI's 10 Hz) the plan covers exactly
+    warp2d_tz_env: float = 0.1
+    # RandomResizeCrop factors up to 1.5 grow on-screen disparities
+    warp2d_aug_margin: float = 1.5
+    # per-group bound caps: compile time / VPU cost backstops
+    warp2d_sx_cap: int = 96
+    warp2d_sy_cap: int = 16
+    # single-call bounds when warp2d_groups == 0 (tests/ablations)
+    warp2d_sx: int = 16
+    warp2d_sy: int = 8
 
     def __post_init__(self):
         if self.loss.use_mom and not self.flip_right:

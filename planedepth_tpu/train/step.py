@@ -248,6 +248,33 @@ def process_batch(
         losses = fused_stereo_losses(bundle, cfg, outputs, batch, pc_params)
         return losses, outputs, new_stats
 
+    from planedepth_tpu.train.mono import fused_warp2d_losses, fused_warp2d_ok
+
+    if fused_warp2d_ok(cfg):
+        losses = fused_warp2d_losses(
+            bundle, cfg, outputs, batch, poses, pc_params
+        )
+        return losses, outputs, new_stats
+
+    if fused_mixed_ok(cfg):
+        # stereo side 'r' rides the fused sweep (incl. the smoothness
+        # term, computed once like the reference's outside-the-side-loop
+        # placement); the temporal sides ride the warp2d kernel.  Loss
+        # keys sum exactly as the reference's per-side loop does.
+        losses = fused_stereo_losses(bundle, cfg, outputs, batch, pc_params)
+        extra = fused_warp2d_losses(
+            bundle, cfg, outputs, batch, poses, pc_params,
+            sides=tuple(cfg.novel_frame_ids), include_smooth=False,
+        )
+        for k, v in extra.items():
+            if k == "loss/disp_loss":
+                # same value every side; the per-side total additions
+                # are already inside each part's total_loss
+                losses[k] = v
+            else:
+                losses[k] = losses.get(k, 0.0) + v
+        return losses, outputs, new_stats
+
     def synth_and_losses(outputs, batch):
         """View synthesis + loss assembly.
 
@@ -324,6 +351,22 @@ def fused_sweep_ok(cfg: TrainConfig) -> bool:
         and cfg.model.planes.yz_levels == 0
         and tuple(cfg.target_sides) == ("r",)
         and cfg.loss.alpha_self == 0.0
+    )
+
+
+def fused_mixed_ok(cfg: TrainConfig) -> bool:
+    """True for stereo + temporal ``disp_warp`` configs (the reference's
+    mono+stereo recipe shape, trainer.py:85-88): side 'r' rides the fused
+    sweep, the temporal sides ride the warp2d kernel."""
+    return (
+        cfg.fused_sweep
+        and cfg.warp_type == "disp_warp"
+        and not cfg.model.render_probability
+        and not cfg.loss.use_mom
+        and cfg.model.planes.yz_levels == 0
+        and cfg.loss.alpha_self == 0.0
+        and not cfg.no_stereo
+        and len(cfg.novel_frame_ids) > 0
     )
 
 
@@ -439,10 +482,10 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         # with_auto only when the recipe automasks — otherwise the kernel
         # skips the automask mixture (one exp per plane per pixel).
         with_auto = cfg.loss.automask
-        # nonneg is correct-by-construction: the fused path only serves
-        # target side 'r' (fused_sweep_ok), whose shifts are disparities
-        # >= 0; a future signed-shift variant must pass nonneg=False
-        nonneg = tuple(cfg.target_sides) == ("r",)
+        # nonneg is correct-by-construction: fused_stereo_losses only
+        # ever serves target side 'r' (fused_sweep_ok / fused_mixed_ok),
+        # whose shifts are disparities >= 0
+        nonneg = True
         sweep = shard_kernel(
             lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad(
                 s_, t_, sigma_head(l_, 1), sh_, m_,
@@ -473,7 +516,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         # the L1 photometric (and its automask) is assembled OUTSIDE from
         # the composite, so the kernel skips the automask mixture
         with_auto = cfg.loss.automask and cfg.model.use_mixture_loss
-        nonneg = tuple(cfg.target_sides) == ("r",)   # see quad branch
+        nonneg = True                                # see quad branch
         if not cfg.model.use_mixture_loss:
             from planedepth_tpu.ops.pallas_sweep import (
                 fused_plane_sweep_nomix,

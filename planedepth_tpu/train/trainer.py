@@ -113,19 +113,27 @@ class Trainer:
         self.steps_per_epoch = self.train_sampler.steps_per_epoch()
 
         # models / optimizer -------------------------------------------------
-        from planedepth_tpu.train.step import fused_sweep_ok
+        from planedepth_tpu.train.mono import fused_warp2d_ok
+        from planedepth_tpu.train.step import fused_mixed_ok, fused_sweep_ok
 
-        if jax.default_backend() == "tpu" and not fused_sweep_ok(cfg):
+        if (
+            jax.default_backend() == "tpu"
+            and not fused_sweep_ok(cfg)
+            and not fused_warp2d_ok(cfg)
+            and not fused_mixed_ok(cfg)
+        ):
             import warnings
 
             warnings.warn(
                 "This training mode is NOT covered by the fused Pallas "
-                "plane-sweep kernel (see train/step.py:fused_sweep_ok) and "
-                "will take the XLA-gather fallback, measured ~170x slower "
-                "on TPU (0.072 vs ~12 imgs/s/chip at HR, PERF_NOTES.md) — "
+                "kernels (see train/step.py:fused_sweep_ok and "
+                "train/mono.py:fused_warp2d_ok) and will take the "
+                "XLA-gather fallback, measured ~170x slower on TPU "
+                "(0.072 vs ~12 imgs/s/chip at HR, PERF_NOTES.md) — "
                 "lane-dimension gathers lower to near-scalar TPU code. "
-                "For production TPU training use stereo disp_warp + "
-                "mixture loss with fused_sweep=True.",
+                "Covered: stereo disp_warp (fused sweep) and "
+                "homography_warp/depth_warp (warp2d kernel) with "
+                "fused_sweep=True.",
                 stacklevel=2,
             )
         self.bundle = ModelBundle(cfg)
