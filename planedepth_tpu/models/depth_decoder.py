@@ -336,10 +336,15 @@ class DepthDecoder(nn.Module):
             )                                  # (B, H/2, W/2, 4*2N)
             if head_f32:
                 ls4 = ls4.astype(jnp.float32)
-            # RAW conv output: the sigma sigmoid+clip (odd channels) is
-            # applied at the kernel-pack site (train/step.py sigma_head)
-            # so XLA can fuse it with the sweep operand pad instead of
-            # spending a separate full-res read+write pass on it.
+            # sigma sigmoid+clip (odd channels of every phase block, 2N
+            # even) applied HERE, in the head conv's epilogue: the r4
+            # trace showed the pack-site placement ran as a standalone
+            # 3.3 ms full-res clamp_select pass (it never fused with the
+            # kernel operand pad); as a conv epilogue it is free.
+            nch = ls4.shape[-1]
+            is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(1, 1, 1, nch)
+            ls4 = jnp.where(
+                is_sigma, jnp.clip(jax.nn.sigmoid(ls4), 0.01, 1.0), ls4)
             outputs["ls_s2d"] = ls4
             return outputs
 

@@ -117,6 +117,25 @@ def warp2d_plan(
         transformation_from_parameters,
     )
 
+    # the plan is usually requested DURING a jit trace (the loss builds
+    # it lazily); under omnistaging every jnp op would be staged into the
+    # traced graph and np.asarray below would fail on tracers — force
+    # eager compile-time evaluation (all inputs are static)
+    with jax.ensure_compile_time_eval():
+        return _warp2d_plan_eval(
+            plane_cfg, warp_type, H, W, rows, tz_env, aug_margin,
+            n_groups, sx_floor, sy_floor, sx_cap, sy_cap,
+            build_plane_volume, identity_norm_grid,
+            transformation_from_parameters,
+        )
+
+
+def _warp2d_plan_eval(
+    plane_cfg, warp_type, H, W, rows, tz_env, aug_margin, n_groups,
+    sx_floor, sy_floor, sx_cap, sy_cap,
+    build_plane_volume, identity_norm_grid,
+    transformation_from_parameters,
+):
     grid = jnp.broadcast_to(identity_norm_grid(H, W)[None], (1, H, W, 2))
     vol = build_plane_volume(grid, plane_cfg, W)
     K = np.array(

@@ -393,17 +393,6 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     in_dtype = jnp.bfloat16 if cfg.bf16 else jnp.float32
     packed = "ls_s2d" in outputs
 
-    def sigma_head(ls, axis):
-        """Sigma sigmoid+clip on the interleaved head's odd channels
-        (moved out of the decoder so it sits next to the kernel operand
-        pad and fuses with it — no standalone full-res pass)."""
-        nch = ls.shape[axis]
-        shape = [1] * ls.ndim
-        shape[axis] = nch
-        is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(shape)
-        return jnp.where(
-            is_sigma, jnp.clip(jax.nn.sigmoid(ls), 0.01, 1.0), ls)
-
     def plane_first(x4):
         """Phase-packed (B, H/2, W/2, 4n) head -> plane-first (B, n, H, W)."""
         Bq, Hh, Wh, C4 = x4.shape
@@ -426,7 +415,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
         tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
         if packed:
-            heads = (plane_first(sigma_head(outputs["ls_s2d"], -1)),)
+            heads = (plane_first(outputs["ls_s2d"]),)
         elif not cfg.model.use_mixture_loss:
             heads = (jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1),)
         else:
@@ -475,9 +464,10 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         lsq = psq.quad_ls_from_s2d(outputs["ls_s2d"], in_dtype)
         srcq = psq.s2d_image(source, in_dtype)
         tgtq = psq.s2d_image(target, in_dtype)
-        # sigma_head INSIDE the shard_map body: the select fuses with the
-        # kernel operand pad there (outside it, the sharding boundary
-        # forces a standalone full-res pass).  nonneg: shifts are
+        # sigma sigmoid+clip already applied in the decoder head conv's
+        # epilogue (models/depth_decoder.py) — free there, vs the 3.3 ms
+        # standalone clamp_select pass the r4 trace measured at this
+        # site.  nonneg: shifts are
         # disparities (>= 0), so the kernel operands skip the left halo.
         # with_auto only when the recipe automasks — otherwise the kernel
         # skips the automask mixture (one exp per plane per pixel).
@@ -488,7 +478,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         nonneg = True
         sweep = shard_kernel(
             lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad(
-                s_, t_, sigma_head(l_, 1), sh_, m_,
+                s_, t_, l_, sh_, m_,
                 pad, interpret, n_vertical, with_disp,
                 # NOT cfg.sweep_gp_taps: quad blocks span 2*sweep_rows
                 # full-res rows, needing the 16-row spread bound (14)

@@ -89,8 +89,17 @@ def test_loader_sustains_per_core_floor(kitti_tree):
     dt = time.perf_counter() - t0
     rate = n_imgs / dt
     n_cpus = os.cpu_count() or 1
+    # production extrapolation: the TPU chip consumes ~19 imgs/s at HR
+    # pc-off (BENCH_r04).  Loading parallelizes linearly across worker
+    # processes (independent PIL decode + numpy aug per sample), so the
+    # host cores needed per chip = chip rate / per-core rate — print it
+    # so the host-sizing answer travels with the measurement.
+    chip_rate = 19.0
+    cores_needed = chip_rate / max(rate / min(4, n_cpus), 1e-9)
     print(f"\nloader throughput: {rate:.2f} imgs/s "
-          f"({n_imgs} imgs in {dt:.1f} s, {n_cpus} cpus visible)")
+          f"({n_imgs} imgs in {dt:.1f} s, {n_cpus} cpus visible); "
+          f"~{cores_needed:.0f} worker cores keep one v5e chip "
+          f"({chip_rate} imgs/s) fed")
     assert rate >= 1.0, (
         f"loader fell below the 1.0 imgs/s/core floor: {rate:.2f}; "
         "PIL decode / bicubic / velodyne projection regressed"

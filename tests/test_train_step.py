@@ -154,3 +154,51 @@ def test_self_distillation_with_flip_right_runs():
                  make_stereo_batch(2, H, W, seed=2).items()}
         state, m = step(state, batch, jax.random.PRNGKey(0))
         assert np.isfinite(float(m["loss/disp_loss"])), fused
+
+
+@pytest.mark.heavy
+def test_overfit_recovers_structured_scene():
+    """Piecewise-planar scene (linear-in-row ground plane + 2 fronto
+    boxes, analytic disparity): overfitting one batch through the FUSED
+    production path must recover the disparity map to sub-pixel mean
+    error — exercising the ground planes, plane residuals, mixture
+    interpolation and smoothness jointly (the constant-disp test above
+    cannot see ground-plane or residual regressions)."""
+    from planedepth_tpu.data.synthetic import (
+        make_structured_batch, structured_left_gt,
+    )
+
+    cfg = tiny_config(
+        fused_sweep=True,
+        model=ModelConfig(
+            net_type="ResNet", num_layers=18, use_denseaspp=False,
+            use_mixture_loss=True, plane_residual=True, num_ep=0,
+            planes=PlaneConfig(disp_levels=17, disp_min=2, disp_max=40,
+                               xz_levels=6, yz_levels=0),
+        ),
+        loss=LossConfig(alpha_pc=0.0, alpha_smooth=0.01),
+        optim=OptimConfig(learning_rate=3e-4, num_epochs=1, milestones=()),
+    )
+    bundle, tx, state = build(cfg)
+    step = jax.jit(make_train_step(bundle, tx))
+    batch = {k: jnp.asarray(v) for k, v in
+             make_structured_batch(2, H, W, seed=12).items()}
+    rng = jax.random.PRNGKey(0)
+    for _ in range(150):
+        state, m = step(state, batch, rng)
+
+    outputs, _ = bundle.depth_forward(
+        state.params, state.batch_stats, batch["color_aug_l"],
+        batch["grid"], train=False,
+    )
+    disp = np.asarray(outputs["disp"])[..., 0]            # (B, H, W)
+    gt, mask = structured_left_gt(H, W)
+    # borders off; the eval mask already removes right-view-occluded
+    # pixels and the +-2 px discontinuity bands (see structured_left_gt)
+    mask = mask.copy()
+    mask[:6] = mask[-6:] = False
+    mask[:, :8] = mask[:, -8:] = False
+    assert mask.mean() > 0.5                   # the bar covers the scene
+    err = np.abs(disp - gt[None])[:, mask]
+    mae = float(err.mean())
+    assert mae < 1.0, mae
