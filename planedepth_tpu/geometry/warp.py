@@ -167,4 +167,13 @@ def homography_warp_coords(
     xy = jnp.moveaxis(xy, 2, -1)                            # (B, N, H, W, 2)
     scale = jnp.array([width - 1, height - 1], dtype)
     coords = (xy / scale - 0.5) * 2.0
-    return coords, mask.reshape(B, N, height, width).astype(dtype)
+    mask = mask.reshape(B, N, height, width).astype(dtype)
+    # a SINGULAR plane homography (side planes through the camera under
+    # pure-translation poses) makes inv3x3 emit NaN rows; every such
+    # pixel has z = NaN -> mask 0, so pin its coordinate to a finite
+    # out-of-range value: both the grid_sample oracle and the warp2d
+    # kernel then sample exactly 0 with zero coordinate gradients,
+    # instead of NaN x 0 poisoning (the reference's torch.inverse
+    # produces garbage it never looks at for the same pixels)
+    coords = jnp.where(mask[..., None] > 0, coords, 2.0)
+    return coords, mask

@@ -112,8 +112,10 @@ def prepare_coords(dx, dy, mask, height, width, rows=8):
     y = jnp.arange(dy.shape[-2], dtype=F32)[:, None]
     xs = dx + x
     ys = dy + y
-    oob = (xs <= -1.0) | (xs >= width) | (ys <= -1.0) | (ys >= height)
-    valid = ~oob
+    # positive comparisons so NaN coordinates land in the FOLD (a NaN
+    # fails every >, so ~valid catches it; the oob form would let it
+    # through as "valid" and poison the int32 anchor cast)
+    valid = (xs > -1.0) & (xs < width) & (ys > -1.0) & (ys < height)
     dx = _tile_fill(dx, valid, rows)
     dy = _tile_fill(dy, valid, rows)
     mask = mask * valid.astype(mask.dtype)
@@ -165,8 +167,11 @@ def _tile_setup(ax_ref, ay_ref, dx_ref, dy_ref, mask_ref, t, sx, sy,
     iy = jnp.floor(dy)
     fx = (dx - ix).astype(F32)
     fy = (dy - iy).astype(F32)
-    axi = ax_ref[t]
-    ayi = ay_ref[t]
+    # anchors ship as the FULL (H//rows, T) int32 plane per (b, n):
+    # Mosaic's real-TPU lowering rejects SMEM blocks whose trailing dims
+    # are neither (8, 128)-aligned nor the whole array
+    axi = ax_ref[h, t]
+    ayi = ay_ref[h, t]
     ux = jnp.clip(ix.astype(jnp.int32) - axi, 0, sx)
     uy = jnp.clip(iy.astype(jnp.int32) - ayi, 0, sy)
     eqx = _onehots(ux, sx)
@@ -188,8 +193,8 @@ def _tile_setup(ax_ref, ay_ref, dx_ref, dy_ref, mask_ref, t, sx, sy,
 
 
 def _fwd_kernel(
-    ax_ref,      # (1, 1, T) SMEM int32 per-tile x anchors
-    ay_ref,      # (1, 1, T) SMEM int32
+    ax_ref,      # (H//rows, T) SMEM int32 per-tile x anchors
+    ay_ref,      # (H//rows, T) SMEM int32
     dx_ref,      # (R, W) VMEM f32
     dy_ref,      # (R, W) VMEM f32
     mask_ref,    # (R, W) VMEM     per-pixel validity
@@ -344,7 +349,8 @@ def _fwd_call(src_p, ls_p, dx, dy, mask, ax, ay, *, rows, sx, sy,
         _fwd_kernel, rows=R, width=W, sx=sx, sy=sy, with_sigma=with_sigma,
         rwina=rwina, wq=wq,
     )
-    smem = pl.BlockSpec((None, None, None, T), lambda b, n, h: (b, n, h, 0),
+    smem = pl.BlockSpec((None, None, H // R, T),
+                        lambda b, n, h: (b, n, 0, 0),
                         memory_space=pltpu.SMEM)
     row = pl.BlockSpec((None, None, R, W), lambda b, n, h: (b, n, h, 0),
                        memory_space=pltpu.VMEM)
@@ -394,7 +400,8 @@ def _bwd_call(src_p, ls_p, dx, dy, mask, ax, ay, g_c, g_l, g_s, *, rows,
         _bwd_kernel, rows=R, width=W, sx=sx, sy=sy, with_sigma=with_sigma,
         rwina=rwina, wq=wq,
     )
-    smem = pl.BlockSpec((None, None, None, T), lambda b, n, h: (b, n, h, 0),
+    smem = pl.BlockSpec((None, None, H // R, T),
+                        lambda b, n, h: (b, n, 0, 0),
                         memory_space=pltpu.SMEM)
     row = pl.BlockSpec((None, None, R, W), lambda b, n, h: (b, n, h, 0),
                        memory_space=pltpu.VMEM)

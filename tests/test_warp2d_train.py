@@ -157,6 +157,35 @@ def test_homography_nomix_step_matches_oracle():
 
 
 @pytest.mark.heavy
+def test_homography_yz_step_matches_oracle():
+    """yz (side) planes participate in the homography warp like any
+    other plane — the warp2d path has no plane-structure assumptions
+    (unlike the stereo sweep, which needs row-constant disparities)."""
+    import dataclasses
+
+    def with_yz(cfg):
+        m = cfg.model
+        return dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                m,
+                # yz_min=1.0: side planes at realistic lateral distances
+                # (the default 0.1 puts them 10 cm from the camera, whose
+                # per-tile x-spread of ~31+ px would need production-plan
+                # tap bounds — warp2d_plan sizes those automatically; the
+                # test pins an explicit bound instead)
+                planes=dataclasses.replace(m.planes, yz_levels=4,
+                                           yz_min=1.0)),
+            warp2d_sx=12,
+        )
+
+    cfg_f = with_yz(_cfg(True))
+    assert fused_warp2d_ok(cfg_f)
+    _assert_steps_match(
+        _one_step(cfg_f), _one_step(with_yz(_cfg(False))))
+
+
+@pytest.mark.heavy
 def test_pure_mono_step_matches_oracle():
     """no_stereo: target sides are the temporal neighbors only
     (reference --no_stereo --novel_frame_ids -1 1)."""
