@@ -39,14 +39,15 @@ def fused_warp2d_ok(cfg: TrainConfig) -> bool:
     """True when training routes 2-D warps through the warp2d kernel.
 
     Covers ``homography_warp`` and ``depth_warp`` (all target sides,
-    stereo + temporal), with or without the mixture loss.  Excluded (the
-    XLA-gather oracle with its loud fence remains): render_probability,
-    use_mom, alpha_self — niche flags off every published recipe.
+    stereo + temporal), with or without the mixture loss, and with
+    render_probability (the NeRF compositing runs in XLA on the kernel's
+    warped logits).  Excluded (the XLA-gather oracle with its loud fence
+    remains): use_mom, alpha_self — niche flags off every published
+    recipe.
     """
     return (
         cfg.fused_sweep
         and cfg.warp_type in ("homography_warp", "depth_warp")
-        and not cfg.model.render_probability
         and not cfg.loss.use_mom
         and cfg.loss.alpha_self == 0.0
     )
@@ -306,7 +307,23 @@ def fused_warp2d_losses(
         rgb_l = sampled[0].astype(F32)                    # (B, N, 3, H, W)
         logit_rec = sampled[1].astype(F32)                # (B, N, H, W)
 
-        prob = jax.nn.softmax(logit_rec, axis=1)
+        if cfg.model.render_probability:
+            # NeRF alpha compositing of the warped densities (reference
+            # trainer.py:584-591 reuses the SOURCE view's dists — the
+            # stereo pair shares the layered depths)
+            from planedepth_tpu.models.depth_decoder import (
+                render_probability_from_logits,
+            )
+
+            prob = jnp.moveaxis(
+                render_probability_from_logits(
+                    jnp.moveaxis(logit_rec, 1, -1)[..., : N - 1],
+                    outputs["dists"],
+                ),
+                -1, 1,
+            )
+        else:
+            prob = jax.nn.softmax(logit_rec, axis=1)
         if mix:
             sigma_rec = jnp.clip(sampled[2].astype(F32), 0.01, 1.0)
             pi_rec = prob

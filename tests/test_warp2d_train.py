@@ -186,6 +186,26 @@ def test_homography_yz_step_matches_oracle():
 
 
 @pytest.mark.heavy
+def test_render_probability_step_matches_oracle():
+    """--render_probability (NeRF alpha compositing of the warped
+    densities) through the warp2d path: the compositing runs in XLA on
+    the kernel's warped logits, reusing the source view's dists like the
+    reference (trainer.py:584-591)."""
+    import dataclasses
+
+    def with_rp(cfg):
+        return dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, render_probability=True),
+        )
+
+    cfg_f = with_rp(_cfg(True))
+    assert fused_warp2d_ok(cfg_f)
+    _assert_steps_match(
+        _one_step(cfg_f), _one_step(with_rp(_cfg(False))))
+
+
+@pytest.mark.heavy
 def test_pure_mono_step_matches_oracle():
     """no_stereo: target sides are the temporal neighbors only
     (reference --no_stereo --novel_frame_ids -1 1)."""
