@@ -168,3 +168,73 @@ def mirror_occlusion_mask(
 
     mask = jnp.concatenate([o_r, flip_w(o_l)], axis=0)
     return jax.lax.stop_gradient(mask)
+
+
+def fused_mom_mask_novel(
+    outputs: Dict[str, jnp.ndarray],
+    use_mixture_loss: bool,
+    pallas_spec=None,
+) -> jnp.ndarray:
+    """``mask_novel`` for ``--use_mom`` on the fused loss paths.
+
+    The fused Pallas sweep composites in-kernel and never materializes the
+    ``probability`` / ``probability_rec`` volumes (reference
+    trainer.py:593-602) that the mirror occlusion mask consumes
+    (trainer.py:636-669).  The mask is stop-gradient, so both volumes are
+    rebuilt here OUTSIDE the differentiated graph: source-view probability
+    exactly as the decoder's non-fused head
+    (models/depth_decoder.py:354-378), target-view ``probability_rec``
+    exactly as ``pred_novel_images`` (train/view_synthesis.py:190-218),
+    with the warps on the forward-only Pallas row-shift sampler — a few
+    extra shift sweeps of the (2B, H, W, N) head tensors per step, not an
+    XLA lane gather.
+    """
+    from planedepth_tpu.models.depth_decoder import mixture_reweight
+
+    disp_layered = jax.lax.stop_gradient(outputs["disp_layered"])
+    pmask = jax.lax.stop_gradient(outputs["padding_mask"])
+
+    if "ls_s2d" in outputs:
+        # merged s2d head: (2B, H/2, W/2, 4*2N) phase blocks, channel 2c =
+        # logits plane c / 2c+1 = sigma (models/depth_decoder.py merged
+        # head conv) -> full-res plane-last heads
+        ls4 = jax.lax.stop_gradient(outputs["ls_s2d"])
+        B2, Hh, Wh, C4 = ls4.shape
+        n2 = C4 // 4
+        full = ls4.reshape(B2, Hh, Wh, 2, 2, n2)
+        full = full.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B2, 2 * Hh, 2 * Wh, n2)
+        logits = full[..., 0::2].astype(jnp.float32)
+        sigma = full[..., 1::2].astype(jnp.float32)
+    else:
+        logits = jax.lax.stop_gradient(outputs["logits"]).astype(jnp.float32)
+        sigma = outputs.get("sigma")
+        if sigma is not None:
+            sigma = jax.lax.stop_gradient(sigma).astype(jnp.float32)
+    if not use_mixture_loss:
+        sigma = None
+
+    probability = nn.softmax(logits, axis=-1)
+    if sigma is not None:
+        probability = mixture_reweight(probability, sigma, pmask)
+
+    # probability_rec, target side 'r': warp by +disp (the row-constant
+    # padding mask commutes with horizontal shifts), mask, softmax,
+    # mixture-reweight — pred_novel_images semantics bit-for-bit
+    shift_r = jnp.broadcast_to(disp_layered, logits.shape)
+    logit_rec = _shift_sample_per_plane(logits, shift_r, pallas_spec) * pmask
+    pi_rec = nn.softmax(logit_rec, axis=-1)
+    if sigma is not None:
+        sigma_rec = jnp.clip(
+            _shift_sample_per_plane(sigma, shift_r, pallas_spec) * pmask,
+            0.01, 1.0,
+        )
+        prob_rec = mixture_reweight(pi_rec, sigma_rec)
+    else:
+        prob_rec = pi_rec
+
+    mom_outputs = {"probability": probability, "disp_layered": shift_r}
+    return mirror_occlusion_mask(
+        mom_outputs, {("probability_rec", "r"): prob_rec},
+        pallas_spec=pallas_spec,
+    )

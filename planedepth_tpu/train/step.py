@@ -244,6 +244,18 @@ def process_batch(
         outputs["disp_pp"] = disp_pp
         outputs["mask_novel"] = mask_novel
 
+    if (cfg.loss.use_mom and cfg.flip_right
+            and (fused_sweep_ok(cfg) or fused_mixed_ok(cfg))):
+        # mirror occlusion mask on the fused path: stop-grad, rebuilt from
+        # the plane heads with the forward-only Pallas shift sampler
+        # (overwrites the distillation mask_novel exactly like the oracle
+        # branch below / reference trainer.py:344-349 ordering)
+        from planedepth_tpu.train.distill import fused_mom_mask_novel
+
+        outputs["mask_novel"] = fused_mom_mask_novel(
+            outputs, cfg.model.use_mixture_loss, pallas_spec
+        )
+
     if fused_sweep_ok(cfg):
         losses = fused_stereo_losses(bundle, cfg, outputs, batch, pc_params)
         return losses, outputs, new_stats
@@ -337,8 +349,10 @@ def fused_sweep_ok(cfg: TrainConfig) -> bool:
     faster than the XLA-gather oracle (0.072 imgs/s/chip vs ~12,
     PERF_NOTES.md) because XLA lowers lane-dimension gathers to
     near-scalar TPU code.  Everything outside this predicate (monocular
-    ``homography_warp``/``depth_warp``, use_mom, render_probability,
-    alpha_self, yz planes, extra target sides) falls back to the oracle.
+    ``homography_warp``/``depth_warp`` -> warp2d kernel; render_probability,
+    alpha_self, yz planes, extra target sides -> oracle) is handled
+    elsewhere; use_mom rides this path via the stop-grad Pallas shift
+    sampler (train/distill.py fused_mom_mask_novel).
     """
     return (
         cfg.fused_sweep
@@ -347,7 +361,6 @@ def fused_sweep_ok(cfg: TrainConfig) -> bool:
         # rides the LOGITS-ONLY no-mixture kernel variant
         # (ops/pallas_sweep.fused_plane_sweep_nomix)
         and not cfg.model.render_probability
-        and not cfg.loss.use_mom
         and cfg.model.planes.yz_levels == 0
         and tuple(cfg.target_sides) == ("r",)
         and cfg.loss.alpha_self == 0.0
@@ -362,7 +375,6 @@ def fused_mixed_ok(cfg: TrainConfig) -> bool:
         cfg.fused_sweep
         and cfg.warp_type == "disp_warp"
         and not cfg.model.render_probability
-        and not cfg.loss.use_mom
         and cfg.model.planes.yz_levels == 0
         and cfg.loss.alpha_self == 0.0
         and not cfg.no_stereo

@@ -131,11 +131,11 @@ class Trainer:
                 "XLA-gather fallback, measured ~170x slower on TPU "
                 "(0.072 vs ~12 imgs/s/chip at HR, PERF_NOTES.md) — "
                 "lane-dimension gathers lower to near-scalar TPU code. "
-                "Covered: stereo disp_warp (fused sweep), stereo+"
-                "temporal disp_warp (mixed), and homography_warp/"
+                "Covered: stereo disp_warp (fused sweep, incl. use_mom), "
+                "stereo+temporal disp_warp (mixed), and homography_warp/"
                 "depth_warp incl. render_probability and yz planes "
                 "(warp2d kernel) with fused_sweep=True.  Remaining "
-                "fallback-only flags: use_mom, alpha_self, "
+                "fallback-only flags: alpha_self, "
                 "render_probability-under-disp_warp, yz-under-disp_warp.",
                 stacklevel=2,
             )

@@ -18,7 +18,8 @@ H, W = 64, 96
 
 
 def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
-         automask=True, net_type="ResNet", mixture=True, xz_levels=3):
+         automask=True, net_type="ResNet", mixture=True, xz_levels=3,
+         use_mom=False):
     return TrainConfig(
         batch_size=2,
         flip_right=True,
@@ -29,7 +30,8 @@ def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
                                xz_levels=xz_levels, yz_levels=0),
             s2d_tail=s2d,
         ),
-        loss=LossConfig(alpha_pc=alpha_pc, automask=automask),
+        loss=LossConfig(alpha_pc=alpha_pc, automask=automask,
+                        use_mom=use_mom),
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=False,
@@ -41,9 +43,10 @@ def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
 
 
 def _one_step(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
-              automask=True, net_type="ResNet", mixture=True, xz_levels=3):
+              automask=True, net_type="ResNet", mixture=True, xz_levels=3,
+              use_mom=False):
     cfg = _cfg(fused, s2d, quad, alpha_pc, pc_s2d, automask, net_type,
-               mixture, xz_levels)
+               mixture, xz_levels, use_mom)
     bundle = ModelBundle(cfg)
     params, stats, pc_params = bundle.init(jax.random.PRNGKey(0), H, W)
     tx = make_optimizer(cfg, 10)
@@ -94,6 +97,28 @@ def test_quad_step_matches_v1_packed_step():
         _one_step(True, s2d="on", quad=False),
         param_tol=1e-4,
     )
+
+
+def test_fused_use_mom_matches_oracle_step():
+    """use_mom on the fused path (stop-grad shift-sampler mask_novel,
+    train/distill.py:fused_mom_mask_novel) == the oracle mom step."""
+    _assert_steps_match(_one_step(True, use_mom=True),
+                        _one_step(False, use_mom=True))
+
+
+def test_fused_s2d_use_mom_matches_oracle_step():
+    """use_mom with the merged s2d head: mask_novel rebuilt from the
+    phase-packed ls_s2d tensor."""
+    _assert_steps_match(_one_step(True, s2d="on", use_mom=True),
+                        _one_step(False, use_mom=True))
+
+
+def test_fused_no_mixture_use_mom_matches_oracle_step():
+    """use_mom without the mixture head (softmax probability only)."""
+    _assert_steps_match(_one_step(True, mixture=False, use_mom=True,
+                                  automask=False),
+                        _one_step(False, mixture=False, use_mom=True,
+                                  automask=False))
 
 
 def test_fused_no_automask_matches_oracle_step():
