@@ -158,11 +158,16 @@ def _dpair(eq, j, taps):
 
 def _tile_setup(ax_ref, ay_ref, dx_ref, dy_ref, mask_ref, t, sx, sy,
                 rows, rwina, wq, h):
-    """Shared per-(plane, tile) quantities for both kernels."""
-    sl = slice(t * 128, (t + 1) * 128)
-    dx = dx_ref[:, sl]
-    dy = dy_ref[:, sl]
-    m = mask_ref[:, sl].astype(F32)
+    """Shared per-(plane, tile) quantities for both kernels.
+
+    ``dx_ref``/``dy_ref``/``mask_ref`` are (rows, 128) lane-tile blocks —
+    the tile index ``t`` is a GRID dimension, not an in-kernel loop:
+    unrolling the W//128 tiles in the kernel body multiplied the emitted
+    Mosaic program by T (the 640-wide mono graph reached 11 MB of MLIR
+    and the remote compile helper was OOM-killed)."""
+    dx = dx_ref[...]
+    dy = dy_ref[...]
+    m = mask_ref[...].astype(F32)
     ix = jnp.floor(dx)
     iy = jnp.floor(dy)
     fx = (dx - ix).astype(F32)
@@ -189,53 +194,51 @@ def _tile_setup(ax_ref, ay_ref, dx_ref, dy_ref, mask_ref, t, sx, sy,
         win = pltpu.roll(win, camt, axis=2)
         return pltpu.roll(win, ramt, axis=1)
 
-    return sl, m, fx, fy, eqx, eqy, fetch, (q8, qc, ramt, camt)
+    return m, fx, fy, eqx, eqy, fetch, (q8, qc, ramt, camt)
 
 
 def _fwd_kernel(
     ax_ref,      # (H//rows, T) SMEM int32 per-tile x anchors
     ay_ref,      # (H//rows, T) SMEM int32
-    dx_ref,      # (R, W) VMEM f32
-    dy_ref,      # (R, W) VMEM f32
-    mask_ref,    # (R, W) VMEM     per-pixel validity
+    dx_ref,      # (R, 128) VMEM f32 lane-tile block
+    dy_ref,      # (R, 128) VMEM f32
+    mask_ref,    # (R, 128) VMEM   per-pixel validity
     src_ref,     # (3, Hp, Wp) VMEM padded source image (full height)
     ls_ref,      # (CS, Hp, Wp) VMEM padded plane head(s) (full height)
-    out_c_ref,   # (3, R, W) warped rgb
-    out_l_ref,   # (1, R, W) warped logit
-    *refs,       # [out_s (1, R, W) when with_sigma]
+    out_c_ref,   # (3, R, 128) warped rgb
+    out_l_ref,   # (1, R, 128) warped logit
+    *refs,       # [out_s (1, R, 128) when with_sigma]
     rows: int,
-    width: int,
     sx: int,
     sy: int,
     with_sigma: bool,
     rwina: int,
     wq: int,
 ):
-    R, W = rows, width
-    T = W // 128
+    R = rows
     CS = 2 if with_sigma else 1
     out_s_ref = refs[0] if with_sigma else None
     h = pl.program_id(2)
+    t = pl.program_id(3)
 
-    for t in range(T):
-        sl, m, fx, fy, eqx, eqy, fetch, _ = _tile_setup(
-            ax_ref, ay_ref, dx_ref, dy_ref, mask_ref, t, sx, sy,
-            R, rwina, wq, h)
-        cwin = fetch(src_ref, 3)
-        lswin = fetch(ls_ref, CS)
+    m, fx, fy, eqx, eqy, fetch, _ = _tile_setup(
+        ax_ref, ay_ref, dx_ref, dy_ref, mask_ref, t, sx, sy,
+        R, rwina, wq, h)
+    cwin = fetch(src_ref, 3)
+    lswin = fetch(ls_ref, CS)
 
-        acc_c = jnp.zeros((3, R, 128), F32)
-        acc_ls = jnp.zeros((CS, R, 128), F32)
-        for j in range(sy + 2):
-            wyj = _wpair(eqy, fy, j, sy)
-            for u in range(sx + 2):
-                w2 = (wyj * _wpair(eqx, fx, u, sx))[None]
-                acc_c = acc_c + w2 * cwin[:, j : j + R, u : u + 128]
-                acc_ls = acc_ls + w2 * lswin[:, j : j + R, u : u + 128]
-        out_c_ref[:, :, sl] = (acc_c * m[None]).astype(out_c_ref.dtype)
-        out_l_ref[:, sl] = (acc_ls[0] * m).astype(out_l_ref.dtype)
-        if with_sigma:
-            out_s_ref[:, sl] = (acc_ls[1] * m).astype(out_s_ref.dtype)
+    acc_c = jnp.zeros((3, R, 128), F32)
+    acc_ls = jnp.zeros((CS, R, 128), F32)
+    for j in range(sy + 2):
+        wyj = _wpair(eqy, fy, j, sy)
+        for u in range(sx + 2):
+            w2 = (wyj * _wpair(eqx, fx, u, sx))[None]
+            acc_c = acc_c + w2 * cwin[:, j : j + R, u : u + 128]
+            acc_ls = acc_ls + w2 * lswin[:, j : j + R, u : u + 128]
+    out_c_ref[...] = (acc_c * m[None]).astype(out_c_ref.dtype)
+    out_l_ref[...] = (acc_ls[0] * m).astype(out_l_ref.dtype)
+    if with_sigma:
+        out_s_ref[...] = (acc_ls[1] * m).astype(out_s_ref.dtype)
 
 
 def _bwd_kernel(
@@ -243,12 +246,12 @@ def _bwd_kernel(
     dx_ref, dy_ref, mask_ref,
     src_ref,     # (3, Hp, Wp)
     ls_ref,      # (CS, Hp, Wp)
-    gc_ref,      # (3, R, W) rgb cotangent
-    gl_ref,      # (1, R, W) logit cotangent
-    *refs,       # [gs (1, R, W) when with_sigma], outs: d_ls (CS, Hp, Wp),
-                 # d_dx (R, W), d_dy (R, W); scratch: stage (CS, rwina, wq)
+    gc_ref,      # (3, R, 128) rgb cotangent (lane-tile block)
+    gl_ref,      # (1, R, 128) logit cotangent
+    *refs,       # [gs (1, R, 128) when with_sigma], outs: d_ls
+                 # (CS, Hp, Wp), d_dx (R, 128), d_dy (R, 128);
+                 # scratch: stage (CS, rwina, wq)
     rows: int,
-    width: int,
     sx: int,
     sy: int,
     with_sigma: bool,
@@ -256,70 +259,69 @@ def _bwd_kernel(
     wq: int,
 ):
     """Adjoint.  d_ls accumulates by reverse taps into the RESIDENT
-    per-plane output block (zeroed at the first row-block; the grid
-    iterates h innermost, so the (b, n) block stays in VMEM until the
-    plane advances).  d_dx/d_dy come from the live tap differences.
-    Image gradients are not emitted — the train step never
+    per-plane output block (zeroed at the first (row-block, tile) step;
+    the grid iterates (h, t) innermost, so the (b, n) block stays in
+    VMEM until the plane advances).  d_dx/d_dy come from the live tap
+    differences.  Image gradients are not emitted — the train step never
     differentiates the batch images."""
     refs = list(refs)
     gs_ref = refs.pop(0) if with_sigma else None
     dls_ref, ddx_ref, ddy_ref, stage = refs
-    R, W = rows, width
-    T = W // 128
+    R = rows
     CS = 2 if with_sigma else 1
     h = pl.program_id(2)
+    t = pl.program_id(3)
 
-    @pl.when(h == 0)
+    @pl.when((h == 0) & (t == 0))
     def _zero():
         dls_ref[...] = jnp.zeros(dls_ref.shape, dls_ref.dtype)
 
-    for t in range(T):
-        sl, m, fx, fy, eqx, eqy, fetch, geom = _tile_setup(
-            ax_ref, ay_ref, dx_ref, dy_ref, mask_ref, t, sx, sy,
-            R, rwina, wq, h)
-        q8, qc, ramt, camt = geom
-        cwin = fetch(src_ref, 3)
-        lswin = fetch(ls_ref, CS)
+    m, fx, fy, eqx, eqy, fetch, geom = _tile_setup(
+        ax_ref, ay_ref, dx_ref, dy_ref, mask_ref, t, sx, sy,
+        R, rwina, wq, h)
+    q8, qc, ramt, camt = geom
+    cwin = fetch(src_ref, 3)
+    lswin = fetch(ls_ref, CS)
 
-        gc = gc_ref[:, :, sl].astype(F32) * m[None]
-        gls = gl_ref[:, :, sl].astype(F32)
-        if with_sigma:
-            gls = jnp.concatenate([gls, gs_ref[:, :, sl].astype(F32)], 0)
-        gls = gls * m[None]
+    gc = gc_ref[...].astype(F32) * m[None]
+    gls = gl_ref[...].astype(F32)
+    if with_sigma:
+        gls = jnp.concatenate([gls, gs_ref[...].astype(F32)], 0)
+    gls = gls * m[None]
 
-        # one (j, u) tap sweep serves everything: d_dx/d_dy from the
-        # difference weights against the live windows, d_ls by scattering
-        # the cotangent through the same weights into the staging block
-        stage[...] = jnp.zeros(stage.shape, stage.dtype)
-        ddx = jnp.zeros((R, 128), F32)
-        ddy = jnp.zeros((R, 128), F32)
-        gdotc = gc                                        # (3, R, 128)
-        for j in range(sy + 2):
-            wyj = _wpair(eqy, fy, j, sy)
-            dyj = _dpair(eqy, j, sy)
-            for u in range(sx + 2):
-                wxu = _wpair(eqx, fx, u, sx)
-                dxu = _dpair(eqx, u, sx)
-                w2 = wyj * wxu
-                wc = cwin[:, j : j + R, u : u + 128]
-                wls = lswin[:, j : j + R, u : u + 128]
-                sampled_dot_g = (gdotc * wc).sum(0) + (gls * wls).sum(0)
-                ddx = ddx + (wyj * dxu) * sampled_dot_g
-                ddy = ddy + (dyj * wxu) * sampled_dot_g
-                stage[pl.ds(0, CS), pl.ds(j, R), pl.ds(u, 128)] = (
-                    stage[pl.ds(0, CS), pl.ds(j, R), pl.ds(u, 128)]
-                    + w2[None] * gls
-                )
-        ddx_ref[:, sl] = ddx
-        ddy_ref[:, sl] = ddy
+    # one (j, u) tap sweep serves everything: d_dx/d_dy from the
+    # difference weights against the live windows, d_ls by scattering
+    # the cotangent through the same weights into the staging block
+    stage[...] = jnp.zeros(stage.shape, stage.dtype)
+    ddx = jnp.zeros((R, 128), F32)
+    ddy = jnp.zeros((R, 128), F32)
+    gdotc = gc                                        # (3, R, 128)
+    for j in range(sy + 2):
+        wyj = _wpair(eqy, fy, j, sy)
+        dyj = _dpair(eqy, j, sy)
+        for u in range(sx + 2):
+            wxu = _wpair(eqx, fx, u, sx)
+            dxu = _dpair(eqx, u, sx)
+            w2 = wyj * wxu
+            wc = cwin[:, j : j + R, u : u + 128]
+            wls = lswin[:, j : j + R, u : u + 128]
+            sampled_dot_g = (gdotc * wc).sum(0) + (gls * wls).sum(0)
+            ddx = ddx + (wyj * dxu) * sampled_dot_g
+            ddy = ddy + (dyj * wxu) * sampled_dot_g
+            stage[pl.ds(0, CS), pl.ds(j, R), pl.ds(u, 128)] = (
+                stage[pl.ds(0, CS), pl.ds(j, R), pl.ds(u, 128)]
+                + w2[None] * gls
+            )
+    ddx_ref[...] = ddx
+    ddy_ref[...] = ddy
 
-        # un-roll the staging block back to the aligned window position
-        # and accumulate into the resident d_ls block
-        back = pltpu.roll(stage[...], (rwina - ramt) % rwina, axis=1)
-        back = pltpu.roll(back, (wq - camt) % wq, axis=2)
-        dls_ref[pl.ds(0, CS), pl.ds(q8, rwina), pl.ds(qc, wq)] = (
-            dls_ref[pl.ds(0, CS), pl.ds(q8, rwina), pl.ds(qc, wq)] + back
-        )
+    # un-roll the staging block back to the aligned window position
+    # and accumulate into the resident d_ls block
+    back = pltpu.roll(stage[...], (rwina - ramt) % rwina, axis=1)
+    back = pltpu.roll(back, (wq - camt) % wq, axis=2)
+    dls_ref[pl.ds(0, CS), pl.ds(q8, rwina), pl.ds(qc, wq)] = (
+        dls_ref[pl.ds(0, CS), pl.ds(q8, rwina), pl.ds(qc, wq)] + back
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -346,18 +348,21 @@ def _fwd_call(src_p, ls_p, dx, dy, mask, ax, ay, *, rows, sx, sy,
     T = W // 128
 
     kernel = functools.partial(
-        _fwd_kernel, rows=R, width=W, sx=sx, sy=sy, with_sigma=with_sigma,
+        _fwd_kernel, rows=R, sx=sx, sy=sy, with_sigma=with_sigma,
         rwina=rwina, wq=wq,
     )
     smem = pl.BlockSpec((None, None, H // R, T),
-                        lambda b, n, h: (b, n, 0, 0),
+                        lambda b, n, h, t: (b, n, 0, 0),
                         memory_space=pltpu.SMEM)
-    row = pl.BlockSpec((None, None, R, W), lambda b, n, h: (b, n, h, 0),
+    row = pl.BlockSpec((None, None, R, 128),
+                       lambda b, n, h, t: (b, n, h, t),
                        memory_space=pltpu.VMEM)
     out_specs = [
-        pl.BlockSpec((None, None, 3, R, W), lambda b, n, h: (b, n, 0, h, 0),
+        pl.BlockSpec((None, None, 3, R, 128),
+                     lambda b, n, h, t: (b, n, 0, h, t),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, None, R, W), lambda b, n, h: (b, n, h, 0),
+        pl.BlockSpec((None, None, R, 128),
+                     lambda b, n, h, t: (b, n, h, t),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
@@ -369,13 +374,13 @@ def _fwd_call(src_p, ls_p, dx, dy, mask, ax, ay, *, rows, sx, sy,
         out_shape.append(out_shape[1])
     outs = pl.pallas_call(
         kernel,
-        grid=(B, N, H // R),
+        grid=(B, N, H // R, T),
         in_specs=[
             smem, smem,
             row, row, row,
-            pl.BlockSpec((None, 3, Hp, Wp), lambda b, n, h: (b, 0, 0, 0),
+            pl.BlockSpec((None, 3, Hp, Wp), lambda b, n, h, t: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),        # src: resident
-            pl.BlockSpec((None, CS, Hp, Wp), lambda b, n, h: (b, n, 0, 0),
+            pl.BlockSpec((None, CS, Hp, Wp), lambda b, n, h, t: (b, n, 0, 0),
                          memory_space=pltpu.VMEM),        # ls: per plane
         ],
         out_specs=out_specs,
@@ -397,37 +402,41 @@ def _bwd_call(src_p, ls_p, dx, dy, mask, ax, ay, g_c, g_l, g_s, *, rows,
     T = W // 128
 
     kernel = functools.partial(
-        _bwd_kernel, rows=R, width=W, sx=sx, sy=sy, with_sigma=with_sigma,
+        _bwd_kernel, rows=R, sx=sx, sy=sy, with_sigma=with_sigma,
         rwina=rwina, wq=wq,
     )
     smem = pl.BlockSpec((None, None, H // R, T),
-                        lambda b, n, h: (b, n, 0, 0),
+                        lambda b, n, h, t: (b, n, 0, 0),
                         memory_space=pltpu.SMEM)
-    row = pl.BlockSpec((None, None, R, W), lambda b, n, h: (b, n, h, 0),
+    row = pl.BlockSpec((None, None, R, 128),
+                       lambda b, n, h, t: (b, n, h, t),
                        memory_space=pltpu.VMEM)
     g_args = [g_c, g_l] + ([g_s] if with_sigma else [])
     g_specs = [
-        pl.BlockSpec((None, None, 3, R, W), lambda b, n, h: (b, n, 0, h, 0),
+        pl.BlockSpec((None, None, 3, R, 128),
+                     lambda b, n, h, t: (b, n, 0, h, t),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((None, None, 1, R, W), lambda b, n, h: (b, n, 0, h, 0),
+        pl.BlockSpec((None, None, 1, R, 128),
+                     lambda b, n, h, t: (b, n, 0, h, t),
                      memory_space=pltpu.VMEM),
     ]
     if with_sigma:
         g_specs.append(g_specs[1])
     outs = pl.pallas_call(
         kernel,
-        grid=(B, N, H // R),
+        grid=(B, N, H // R, T),
         in_specs=[
             smem, smem,
             row, row, row,
-            pl.BlockSpec((None, 3, Hp, Wp), lambda b, n, h: (b, 0, 0, 0),
+            pl.BlockSpec((None, 3, Hp, Wp), lambda b, n, h, t: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, CS, Hp, Wp), lambda b, n, h: (b, n, 0, 0),
+            pl.BlockSpec((None, CS, Hp, Wp), lambda b, n, h, t: (b, n, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + g_specs,
         out_specs=[
-            # d_ls: revisited across the h grid steps (accumulates in VMEM)
-            pl.BlockSpec((None, CS, Hp, Wp), lambda b, n, h: (b, n, 0, 0),
+            # d_ls: revisited across the (h, t) grid steps (accumulates
+            # in VMEM)
+            pl.BlockSpec((None, CS, Hp, Wp), lambda b, n, h, t: (b, n, 0, 0),
                          memory_space=pltpu.VMEM),
             row, row,
         ],
