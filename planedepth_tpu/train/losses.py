@@ -164,7 +164,12 @@ def compute_losses(
             losses["loss/pc_loss"] += pc
             total += alpha_pc * pc
 
-        if alpha_self > 0.0:
+        if alpha_self > 0.0 and side == "r":
+            # stereo-only by construction: the reference's
+            # pred_self_images resamples the RIGHT image at the expected
+            # disparity and notes "only stereo could compute as this"
+            # (trainer.py:605-633; its own per-side read at :754 is a
+            # latent KeyError — repaired here by scoping to side 'r')
             self_l = jnp.mean(
                 reprojection_loss(
                     rec[("self_rec", side)], source, cfg.use_ssim

@@ -25,6 +25,7 @@ import numpy as np
 from planedepth_tpu.config import PlaneConfig, TrainConfig
 from planedepth_tpu.geometry.warp import (
     depth_warp_coords,
+    disp_warp_shift,
     homography_warp_coords,
 )
 from planedepth_tpu.ops.losses import smooth_loss_disp
@@ -39,17 +40,28 @@ def fused_warp2d_ok(cfg: TrainConfig) -> bool:
     """True when training routes 2-D warps through the warp2d kernel.
 
     Covers ``homography_warp`` and ``depth_warp`` (all target sides,
-    stereo + temporal), with or without the mixture loss, and with
+    stereo + temporal), with or without the mixture loss, with
     render_probability (the NeRF compositing runs in XLA on the kernel's
-    warped logits).  Excluded (the XLA-gather oracle with its loud fence
-    remains): use_mom, alpha_self — niche flags off every published
-    recipe.
+    warped logits), and with alpha_self (the self-reconstruction is ONE
+    3-channel per-pixel XLA gather — cheap at that scale).
+
+    Also RESCUES the ``disp_warp`` configs the plane-sweep kernels
+    cannot take (render_probability needs the per-plane warped logits;
+    yz side planes have column-varying disparity): a stereo disparity
+    warp is the dx = disp, dy = 0 special case of this kernel
+    (geometry/warp.py:disp_warp_shift), so those recipes ride warp2d for
+    every side instead of the ~170x XLA-gather oracle.
+
+    Excluded (the XLA-gather oracle with its loud fence remains):
+    use_mom — a niche flag off every published recipe.
     """
+    rescue = cfg.warp_type == "disp_warp" and (
+        cfg.model.render_probability or cfg.model.planes.yz_levels > 0
+    )
     return (
         cfg.fused_sweep
-        and cfg.warp_type in ("homography_warp", "depth_warp")
+        and (cfg.warp_type in ("homography_warp", "depth_warp") or rescue)
         and not cfg.loss.use_mom
-        and cfg.loss.alpha_self == 0.0
     )
 
 
@@ -86,6 +98,7 @@ def warp2d_plan(
     sy_floor: int,
     sx_cap: int,
     sy_cap: int,
+    temporal: bool = True,
 ) -> Tuple[Tuple[int, int, int, int], ...]:
     """Static plane-group tap plan for the warp2d kernel.
 
@@ -127,7 +140,7 @@ def warp2d_plan(
             plane_cfg, warp_type, H, W, rows, tz_env, aug_margin,
             n_groups, sx_floor, sy_floor, sx_cap, sy_cap,
             build_plane_volume, identity_norm_grid,
-            transformation_from_parameters,
+            transformation_from_parameters, temporal,
         )
 
 
@@ -135,7 +148,7 @@ def _warp2d_plan_eval(
     plane_cfg, warp_type, H, W, rows, tz_env, aug_margin, n_groups,
     sx_floor, sy_floor, sx_cap, sy_cap,
     build_plane_volume, identity_norm_grid,
-    transformation_from_parameters,
+    transformation_from_parameters, temporal=True,
 ):
     grid = jnp.broadcast_to(identity_norm_grid(H, W)[None], (1, H, W, 2))
     vol = build_plane_volume(grid, plane_cfg, W)
@@ -147,8 +160,23 @@ def _warp2d_plan_eval(
 
     sx_need = np.zeros(N, np.int64)
     sy_need = np.zeros(N, np.int64)
+    if warp_type == "disp_warp":
+        # stereo disparity warp (the render_probability / yz rescue
+        # path): dx = ±disp_layered, dy = 0 — probe the disparity field
+        # itself; the temporal sides of a mixed recipe are covered by
+        # the depth_warp envelope probe below
+        dxs = jnp.moveaxis(vol.disp_layered, -1, 1).astype(F32)
+        pm = jnp.moveaxis(vol.padding_mask, -1, 1).astype(F32)
+        dx, dy, _ = prepare_coords(dxs, jnp.zeros_like(dxs), pm, H, W,
+                                   rows=rows)
+        sx_need = np.maximum(sx_need, _tile_spreads(np.asarray(dx), rows))
+        sy_need = np.maximum(sy_need, _tile_spreads(np.asarray(dy), rows))
     jit = 0.01                                   # lateral/rotation jitter
-    for tz in (tz_env, -tz_env):
+    # pure-stereo disp_warp rescue: no temporal sides -> no pose envelope
+    # (the pose probe would inflate sy by fake ego-motion)
+    envelopes = () if (warp_type == "disp_warp" and not temporal) \
+        else (tz_env, -tz_env)
+    for tz in envelopes:
         aa = jnp.asarray(np.full((1, 1, 3), jit, np.float32))
         t = jnp.asarray(np.array([[[jit, -jit, tz]]], np.float32))
         T = transformation_from_parameters(aa[:, 0][:, None],
@@ -203,6 +231,13 @@ def _warp2d_plan_eval(
 
 def _side_coords(cfg, outputs, side, poses, K, inv_K, H, W):
     """(dx, dy, mask) ``(B, N, H, W)`` for one target side."""
+    if cfg.warp_type == "disp_warp" and side in ("l", "r"):
+        # stereo disparity warp = the dx-only special case (the rescue
+        # path for render_probability / yz configs; reference
+        # trainer.py:545-548)
+        dx = disp_warp_shift(outputs["disp_layered"], side).astype(F32)
+        return (dx, jnp.zeros_like(dx),
+                jnp.moveaxis(outputs["padding_mask"], -1, 1).astype(F32))
     if cfg.warp_type == "homography_warp":
         coords, mask = homography_warp_coords(
             outputs["distance"], outputs["norm"], poses[side], K, inv_K,
@@ -258,6 +293,7 @@ def fused_warp2d_losses(
             cfg.model.planes, cfg.warp_type, H, W, cfg.sweep_rows,
             cfg.warp2d_tz_env, cfg.warp2d_aug_margin, cfg.warp2d_groups,
             4, 2, cfg.warp2d_sx_cap, cfg.warp2d_sy_cap,
+            temporal=len(cfg.novel_frame_ids) > 0,
         )
     else:
         plan = ((0, N, cfg.warp2d_sx, cfg.warp2d_sy),)
@@ -379,6 +415,25 @@ def fused_warp2d_losses(
             )
             losses["loss/pc_loss"] += pc
             total += cfg.loss.alpha_pc * pc
+
+        if side == "r" and cfg.loss.alpha_self > 0.0:
+            # self-reconstruction (reference trainer.py:605-633): ONE
+            # 3-channel per-pixel gather — XLA handles this scale fine
+            # (the ~170x cliff was 315 per-plane maps)
+            from planedepth_tpu.train.losses import reprojection_loss
+            from planedepth_tpu.train.view_synthesis import (
+                pred_self_images,
+            )
+
+            self_rec = pred_self_images(
+                outputs["disp"].astype(F32), target.astype(F32),
+                batch["Rt_r"], batch["K"], batch["inv_K"],
+            )
+            self_l = jnp.mean(
+                reprojection_loss(self_rec, source, cfg.loss.use_ssim)
+            )
+            losses["loss/self_loss"] = self_l
+            total += cfg.loss.alpha_self * self_l
 
         if cfg.loss.self_distillation > 0 and "disp_pp" in outputs:
             disp_loss = jnp.mean(

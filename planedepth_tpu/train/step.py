@@ -350,9 +350,12 @@ def fused_sweep_ok(cfg: TrainConfig) -> bool:
     PERF_NOTES.md) because XLA lowers lane-dimension gathers to
     near-scalar TPU code.  Everything outside this predicate (monocular
     ``homography_warp``/``depth_warp`` -> warp2d kernel; render_probability,
-    alpha_self, yz planes, extra target sides -> oracle) is handled
-    elsewhere; use_mom rides this path via the stop-grad Pallas shift
-    sampler (train/distill.py fused_mom_mask_novel).
+    yz planes, extra target sides -> oracle) is handled elsewhere; use_mom
+    rides this path via the stop-grad Pallas shift sampler
+    (train/distill.py fused_mom_mask_novel); alpha_self rides it with the
+    self-reconstruction as a single-map XLA gather (3 channel-maps at the
+    expected disparity — NOT the 315 per-plane maps the 170x cliff was
+    measured on).
     """
     return (
         cfg.fused_sweep
@@ -363,7 +366,6 @@ def fused_sweep_ok(cfg: TrainConfig) -> bool:
         and not cfg.model.render_probability
         and cfg.model.planes.yz_levels == 0
         and tuple(cfg.target_sides) == ("r",)
-        and cfg.loss.alpha_self == 0.0
     )
 
 
@@ -376,7 +378,6 @@ def fused_mixed_ok(cfg: TrainConfig) -> bool:
         and cfg.warp_type == "disp_warp"
         and not cfg.model.render_probability
         and cfg.model.planes.yz_levels == 0
-        and cfg.loss.alpha_self == 0.0
         and not cfg.no_stereo
         and len(cfg.novel_frame_ids) > 0
     )
@@ -621,6 +622,25 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
             )
         losses["loss/pc_loss"] = pc
         total += cfg.loss.alpha_pc * pc
+
+    if cfg.loss.alpha_self > 0.0:
+        # self-reconstruction (reference trainer.py:605-633): resample
+        # the RIGHT image at the expected disparity and compare to the
+        # left.  ONE 3-channel per-pixel gather (~6M samples at stage-1
+        # shapes) — the XLA-gather path is fine at this scale; the ~170x
+        # cliff (PERF_NOTES.md) was measured on 315 per-plane maps.
+        from planedepth_tpu.train.losses import reprojection_loss
+        from planedepth_tpu.train.view_synthesis import pred_self_images
+
+        self_rec = pred_self_images(
+            disp.astype(jnp.float32), target.astype(jnp.float32),
+            batch["Rt_r"], batch["K"], batch["inv_K"],
+        )
+        self_l = jnp.mean(
+            reprojection_loss(self_rec, source, cfg.loss.use_ssim)
+        )
+        losses["loss/self_loss"] = self_l
+        total += cfg.loss.alpha_self * self_l
 
     if cfg.loss.self_distillation > 0 and "disp_pp" in outputs:
         disp_loss = jnp.mean(jnp.abs(disp - outputs["disp_pp"]))

@@ -131,12 +131,13 @@ class Trainer:
                 "XLA-gather fallback, measured ~170x slower on TPU "
                 "(0.072 vs ~12 imgs/s/chip at HR, PERF_NOTES.md) — "
                 "lane-dimension gathers lower to near-scalar TPU code. "
-                "Covered: stereo disp_warp (fused sweep, incl. use_mom), "
-                "stereo+temporal disp_warp (mixed), and homography_warp/"
-                "depth_warp incl. render_probability and yz planes "
-                "(warp2d kernel) with fused_sweep=True.  Remaining "
-                "fallback-only flags: alpha_self, "
-                "render_probability-under-disp_warp, yz-under-disp_warp.",
+                "Covered: stereo disp_warp (fused sweep, incl. use_mom "
+                "and alpha_self), stereo+temporal disp_warp (mixed), "
+                "homography_warp/depth_warp incl. render_probability and "
+                "yz planes (warp2d kernel), and disp_warp with "
+                "render_probability/yz (warp2d rescue) — all with "
+                "fused_sweep=True.  Remaining fallback-only flag: "
+                "use_mom under homography_warp/depth_warp.",
                 stacklevel=2,
             )
         self.bundle = ModelBundle(cfg)

@@ -19,7 +19,7 @@ H, W = 64, 96
 
 def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
          automask=True, net_type="ResNet", mixture=True, xz_levels=3,
-         use_mom=False):
+         use_mom=False, alpha_self=0.0):
     return TrainConfig(
         batch_size=2,
         flip_right=True,
@@ -31,7 +31,7 @@ def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
             s2d_tail=s2d,
         ),
         loss=LossConfig(alpha_pc=alpha_pc, automask=automask,
-                        use_mom=use_mom),
+                        use_mom=use_mom, alpha_self=alpha_self),
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=False,
@@ -44,9 +44,9 @@ def _cfg(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
 
 def _one_step(fused, s2d="auto", quad=True, alpha_pc=0.0, pc_s2d=True,
               automask=True, net_type="ResNet", mixture=True, xz_levels=3,
-              use_mom=False):
+              use_mom=False, alpha_self=0.0):
     cfg = _cfg(fused, s2d, quad, alpha_pc, pc_s2d, automask, net_type,
-               mixture, xz_levels, use_mom)
+               mixture, xz_levels, use_mom, alpha_self)
     bundle = ModelBundle(cfg)
     params, stats, pc_params = bundle.init(jax.random.PRNGKey(0), H, W)
     tx = make_optimizer(cfg, 10)
@@ -119,6 +119,21 @@ def test_fused_no_mixture_use_mom_matches_oracle_step():
                                   automask=False),
                         _one_step(False, mixture=False, use_mom=True,
                                   automask=False))
+
+
+def test_fused_alpha_self_matches_oracle_step():
+    """alpha_self on the fused sweep path: the self-reconstruction
+    (single-map XLA gather of the right image at the expected disparity,
+    reference trainer.py:605-633) is assembled alongside the kernel
+    outputs — fused == oracle, including loss/self_loss.  s2d='on'
+    exercises the kernel-computed disparity head feeding the self-rec."""
+    f = _one_step(True, s2d="on", alpha_self=0.1)
+    o = _one_step(False, alpha_self=0.1)
+    np.testing.assert_allclose(
+        float(f[1]["loss/self_loss"]), float(o[1]["loss/self_loss"]),
+        rtol=2e-4,
+    )
+    _assert_steps_match(f, o, param_tol=1e-4)
 
 
 def test_fused_no_automask_matches_oracle_step():

@@ -21,7 +21,7 @@ H, W = 32, 128          # warp2d kernel needs W % 128 == 0
 
 
 def _cfg(fused, warp_type="homography_warp", mixture=True, alpha_pc=0.0,
-         no_stereo=False, novel=(-1, 1), sd=0.0):
+         no_stereo=False, novel=(-1, 1), sd=0.0, alpha_self=0.0):
     return TrainConfig(
         batch_size=2,
         flip_right=False,
@@ -35,7 +35,7 @@ def _cfg(fused, warp_type="homography_warp", mixture=True, alpha_pc=0.0,
                                xz_levels=3, yz_levels=0),
         ),
         loss=LossConfig(alpha_pc=alpha_pc, automask=True,
-                        self_distillation=sd),
+                        self_distillation=sd, alpha_self=alpha_self),
         data=DataConfig(height=H, width=W),
         optim=OptimConfig(learning_rate=1e-4),
         bf16=False,
@@ -127,9 +127,14 @@ def test_fused_warp2d_predicate():
     assert not fused_warp2d_ok(_cfg(True, warp_type="disp_warp"))
     import dataclasses
     c = _cfg(True)
-    assert not fused_warp2d_ok(
+    # alpha_self rides the fused path (single-map XLA gather self-rec);
+    # use_mom still falls to the oracle
+    assert fused_warp2d_ok(
         dataclasses.replace(c, loss=dataclasses.replace(c.loss,
                                                         alpha_self=0.1)))
+    assert not fused_warp2d_ok(
+        dataclasses.replace(c, loss=dataclasses.replace(c.loss,
+                                                        use_mom=True)))
 
 
 @pytest.mark.heavy
@@ -145,6 +150,21 @@ def test_depth_warp_step_matches_oracle():
     _assert_steps_match(
         _one_step(_cfg(True, warp_type="depth_warp")),
         _one_step(_cfg(False, warp_type="depth_warp")))
+
+
+@pytest.mark.heavy
+def test_homography_alpha_self_matches_oracle():
+    """alpha_self on the fused warp2d path: the self-reconstruction
+    (single-map XLA gather at the expected disparity, reference
+    trainer.py:605-633) rides alongside the kernel — fused == oracle,
+    including loss/self_loss."""
+    f = _one_step(_cfg(True, alpha_self=0.1))
+    o = _one_step(_cfg(False, alpha_self=0.1))
+    np.testing.assert_allclose(
+        float(f[1]["loss/self_loss"]), float(o[1]["loss/self_loss"]),
+        rtol=2e-4,
+    )
+    _assert_steps_match(f, o)
 
 
 @pytest.mark.heavy
@@ -227,6 +247,53 @@ def test_mixed_disp_warp_step_matches_oracle():
     assert not fused_warp2d_ok(cfg)
     _assert_steps_match(
         _one_step(cfg), _one_step(_cfg(False, warp_type="disp_warp")))
+
+
+@pytest.mark.heavy
+def test_disp_warp_render_probability_rescue_matches_oracle():
+    """render_probability under STEREO disp_warp cannot ride the plane
+    sweep (it needs the per-plane warped logits); the warp2d kernel
+    rescues it as the dx = disp, dy = 0 special case
+    (train/mono.py:fused_warp2d_ok) — fused == oracle."""
+    import dataclasses
+
+    def with_rp(cfg):
+        return dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(cfg.model, render_probability=True),
+        )
+
+    cfg_f = with_rp(_cfg(True, warp_type="disp_warp", novel=()))
+    assert fused_warp2d_ok(cfg_f)
+    _assert_steps_match(
+        _one_step(cfg_f),
+        _one_step(with_rp(_cfg(False, warp_type="disp_warp", novel=()))))
+
+
+@pytest.mark.heavy
+def test_disp_warp_yz_rescue_matches_oracle():
+    """yz side planes have column-varying disparity, which the stereo
+    sweep kernels cannot sample; the warp2d rescue takes the WHOLE mixed
+    recipe (stereo 'r' as dx = disp, temporal sides as depth warps)
+    instead of the XLA-gather oracle."""
+    import dataclasses
+
+    def with_yz(cfg):
+        m = cfg.model
+        return dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                m,
+                planes=dataclasses.replace(m.planes, yz_levels=4,
+                                           yz_min=1.0)),
+            warp2d_sx=12,
+        )
+
+    cfg_f = with_yz(_cfg(True, warp_type="disp_warp"))
+    assert fused_warp2d_ok(cfg_f)
+    _assert_steps_match(
+        _one_step(cfg_f),
+        _one_step(with_yz(_cfg(False, warp_type="disp_warp"))))
 
 
 @pytest.mark.heavy
