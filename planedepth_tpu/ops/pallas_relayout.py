@@ -1,0 +1,120 @@
+"""Fused relayout + halo-pad kernels for the quad sweep's ls operand.
+
+The s2d decoder head emits ``ls_s2d (B, H/2, W/2, 4*2N)`` (channels
+minor — the natural conv output layout); the quad sweep kernel consumes
+``(B, 4*2N, H/2, W/2 + halo)`` (W on lanes).  As two XLA ops that is a
+layout-change copy (~2x the HBM floor) plus a pad copy — the r4 trace
+measured the transpose pair at 9.3 ms and the pad at 4.2 ms per step,
+and the intermediate channels-first tensor (~0.5 GB at b4 flagship)
+stays live into the kernel.  These kernels do each direction in ONE
+HBM-speed pass:
+
+  * :func:`relayout_pad_nchw` — NHWC -> padded NCHW (the forward side).
+  * :func:`relayout_nhwc` — NCHW -> NHWC (the cotangent side; the sweep
+    backward already emits the unpadded width).
+
+The in-kernel transpose is a single 2-D ``(R*128, C) -> (C, R*128)``
+matrix transpose per (batch, row-block, lane-tile) grid cell — the
+(R, 128, C) input block flattens contiguously because C is minor, and
+the (C, R, 128) output block splits contiguously because 128 is minor.
+
+No reference counterpart: the reference's torch NCHW tensors never need
+this (its grid_sample consumes any stride, /root/reference/trainer.py:565).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32 = jnp.float32
+
+
+def _fwd_kernel(x_ref, o_ref, *, R: int, C: int, wtiles: int):
+    """(R, 128, C) NHWC block -> (C, R, 128) NCHW block (or zeros in the
+    right-halo region, where the index map pins the input to tile 0)."""
+    t = pl.program_id(2)
+
+    @pl.when(t < wtiles)
+    def _data():
+        x = x_ref[...].reshape(R * 128, C)
+        o_ref[...] = x.T.reshape(C, R, 128)
+
+    @pl.when(t >= wtiles)
+    def _halo():
+        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+
+def relayout_pad_nchw(x, lpad: int, rpad: int, rows: int = 8,
+                      interpret: bool = False):
+    """``(B, H, W, C)`` -> ``(B, C, H, W + lpad + rpad)`` zero-padded on W.
+
+    ``lpad``/``rpad`` must be multiples of 128 (the production quad halo
+    is 128-aligned by construction, ops/pallas_sweep_quad.py:_quad_pad).
+    """
+    B, H, W, C = x.shape
+    R = rows
+    assert H % R == 0, (H, R)
+    assert W % 128 == 0 and lpad % 128 == 0 and rpad % 128 == 0, (
+        W, lpad, rpad)
+    wtiles = W // 128
+    ltiles = lpad // 128
+    ttiles = wtiles + ltiles + rpad // 128
+
+    kernel = functools.partial(_fwd_kernel, R=R, C=C, wtiles=wtiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H // R, ttiles),
+        in_specs=[
+            # halo tiles (t >= wtiles) pin the input block to tile 0 — a
+            # dummy fetch; the kernel writes zeros there.  The left halo
+            # (signed mode only; production nonneg lpad = 0) is rotated
+            # to the right of the grid and the output index map unrotates
+            # it so tiles [0, ltiles) of the OUTPUT are the zero halo.
+            pl.BlockSpec(
+                (None, R, 128, C),
+                lambda b, h, t: (b, h, t if t < wtiles else 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, C, R, 128),
+            lambda b, h, t: (b, 0, h, t + ltiles if t < wtiles else
+                             (t - wtiles if t - wtiles < ltiles
+                              else t + ltiles)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W + lpad + rpad), x.dtype),
+        interpret=interpret,
+    )(x)
+    return out
+
+
+def _bwd_kernel(g_ref, o_ref, *, R: int, C: int):
+    g = g_ref[...].reshape(C, R * 128)
+    o_ref[...] = g.T.reshape(R, 128, C)
+
+
+def relayout_nhwc(g, rows: int = 8, interpret: bool = False):
+    """``(B, C, H, W)`` -> ``(B, H, W, C)`` (the cotangent relayout)."""
+    B, C, H, W = g.shape
+    R = rows
+    assert H % R == 0 and W % 128 == 0, (H, W, R)
+    kernel = functools.partial(_bwd_kernel, R=R, C=C)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, H // R, W // 128),
+        in_specs=[
+            pl.BlockSpec((None, C, R, 128), lambda b, h, t: (b, 0, h, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, R, 128, C), lambda b, h, t: (b, h, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, C), g.dtype),
+        interpret=interpret,
+    )(g)
