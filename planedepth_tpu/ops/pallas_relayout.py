@@ -35,13 +35,13 @@ F32 = jnp.float32
 
 def _fwd_kernel(x_ref, o_ref, *, R: int, C: int, wtiles: int):
     """(R, 128, C) NHWC block -> (C, R, 128) NCHW block (or zeros in the
-    right-halo region, where the index map pins the input to tile 0)."""
+    halo region, where the index map pins the input to tile 0)."""
     t = pl.program_id(2)
 
     @pl.when(t < wtiles)
     def _data():
         x = x_ref[...].reshape(R * 128, C)
-        o_ref[...] = x.T.reshape(C, R, 128)
+        o_ref[...] = x.T.reshape(C, R, 128).astype(o_ref.dtype)
 
     @pl.when(t >= wtiles)
     def _halo():
@@ -49,7 +49,7 @@ def _fwd_kernel(x_ref, o_ref, *, R: int, C: int, wtiles: int):
 
 
 def relayout_pad_nchw(x, lpad: int, rpad: int, rows: int = 8,
-                      interpret: bool = False):
+                      interpret: bool = False, out_dtype=None):
     """``(B, H, W, C)`` -> ``(B, C, H, W + lpad + rpad)`` zero-padded on W.
 
     ``lpad``/``rpad`` must be multiples of 128 (the production quad halo
@@ -76,18 +76,23 @@ def relayout_pad_nchw(x, lpad: int, rpad: int, rows: int = 8,
             # it so tiles [0, ltiles) of the OUTPUT are the zero halo.
             pl.BlockSpec(
                 (None, R, 128, C),
-                lambda b, h, t: (b, h, t if t < wtiles else 0, 0),
+                lambda b, h, t: (b, h, jnp.where(t < wtiles, t, 0), 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (None, C, R, 128),
-            lambda b, h, t: (b, 0, h, t + ltiles if t < wtiles else
-                             (t - wtiles if t - wtiles < ltiles
-                              else t + ltiles)),
+            # data tiles shift right by the left halo; halo grid steps
+            # [wtiles, wtiles+ltiles) write the left halo [0, ltiles) and
+            # the remaining steps write the right halo AT their own index
+            # (t >= wtiles + ltiles there, exactly the right-halo tiles)
+            lambda b, h, t: (b, 0, h, jnp.where(
+                t < wtiles, t + ltiles,
+                jnp.where(t - wtiles < ltiles, t - wtiles, t))),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, C, H, W + lpad + rpad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, C, H, W + lpad + rpad), out_dtype or x.dtype),
         interpret=interpret,
     )(x)
     return out

@@ -1019,6 +1019,101 @@ fused_plane_sweep_quad.defvjp(_fpsq_fwd, _fpsq_bwd)
 
 
 # ---------------------------------------------------------------------------
+# s2d-direct entry: the decoder's NHWC head tensor in, ONE Pallas pass to
+# the padded NCHW kernel operand (ops/pallas_relayout.py) instead of the
+# XLA channels-to-front copy + pad copy the r4 trace measured at
+# 9.3 + 4.2 ms/step (and whose ~1 GB intermediate stays live into the
+# kernel).  The cotangent comes back NHWC by the mirror kernel.
+# ---------------------------------------------------------------------------
+
+def _relayout_rows(Hq: int) -> int:
+    return 8 if Hq % 8 == 0 else (4 if Hq % 4 == 0 else 1)
+
+
+def _relayout_ok(ls_s2d, lpad: int, rpad: int) -> bool:
+    _, Hq, W2, _ = ls_s2d.shape
+    return (W2 % 128 == 0 and lpad % 128 == 0 and rpad % 128 == 0
+            and Hq % _relayout_rows(Hq) == 0)
+
+
+def _pack_quad_operands(srcq, ls_s2d, pad, gp_taps, nonneg, interpret):
+    """(srcq NCHW, ls_s2d NHWC) -> the pre-padded kernel operands."""
+    pad2 = _quad_pad(pad, gp_taps)
+    lpad = _quad_lpad(pad2, nonneg)
+    rpad = pad2 + _quad_slack(pad2, gp_taps)
+    src_p = _pad_lr(srcq, lpad, rpad)
+    if _relayout_ok(ls_s2d, lpad, rpad):
+        from planedepth_tpu.ops.pallas_relayout import relayout_pad_nchw
+
+        ls_p = relayout_pad_nchw(
+            ls_s2d, lpad, rpad, rows=_relayout_rows(ls_s2d.shape[1]),
+            interpret=interpret,
+        )
+    else:
+        # tiny/unaligned shapes (CPU tests, dryrun): the XLA repack
+        ls_p = _pad_lr(quad_ls_from_s2d(ls_s2d), lpad, rpad)
+    return src_p, ls_p, lpad, rpad
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+def fused_plane_sweep_quad_s2d(srcq, tgtq, ls_s2d, shift2, mask2,
+                               pad: int, interpret: bool = False,
+                               n_vertical: int = 0, with_disp: bool = False,
+                               rows: int = 16, gp_taps: int = 0,
+                               with_auto: bool = True, nonneg: bool = False):
+    """Quad plane-sweep taking the decoder's ``ls_s2d (B, H/2, W/2, 4*2N)``
+    NHWC head directly; otherwise identical to :func:`fused_plane_sweep_quad`.
+    """
+    src_p, ls_p, _, _ = _pack_quad_operands(
+        srcq, ls_s2d, pad, gp_taps, nonneg, interpret)
+    return _fwd_call_q(
+        src_p, tgtq, ls_p, shift2, mask2, pad=pad, rows=rows,
+        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
+        gp_taps=gp_taps, nonneg=nonneg, pre_padded=True,
+        with_auto=with_auto,
+    )
+
+
+def _fpsqs_fwd(srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret,
+               n_vertical, with_disp, rows, gp_taps, with_auto, nonneg):
+    src_p, ls_p, _, _ = _pack_quad_operands(
+        srcq, ls_s2d, pad, gp_taps, nonneg, interpret)
+    out = _fwd_call_q(
+        src_p, tgtq, ls_p, shift2, mask2, pad=pad, rows=rows,
+        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
+        gp_taps=gp_taps, with_stats=True, nonneg=nonneg, pre_padded=True,
+        with_auto=with_auto,
+    )
+    out, stats = out[:-1], out[-1]
+    return out, (src_p, tgtq, ls_p, shift2, mask2, stats, out[0])
+
+
+def _fpsqs_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps,
+               with_auto, nonneg, res, cts):
+    src_p, tgtq, ls_p, shift2, mask2, stats, rgb = res
+    di = 3 if with_auto else 2
+    g_disp = cts[di] if with_disp else None
+    d_ls, d_shift2 = sweep_backward_quad(
+        src_p, tgtq, ls_p, shift2, mask2, stats, rgb, cts[0], cts[1],
+        g_disp, pad=pad, rows=rows, interpret=interpret,
+        n_vertical=n_vertical, with_disp=with_disp, gp_taps=gp_taps,
+        nonneg=nonneg, pre_padded=True,
+    )
+    # cotangent back to NHWC via XLA's layout-change copy: measured 3.2 ms
+    # vs the mirror Pallas kernel's 6.2 ms at the b4 flagship shape
+    # (scripts/validate_relayout_tpu.py) — XLA wins the C-minor WRITE side
+    B, _, Hq, W2 = tgtq.shape
+    d_ls_s2d = jnp.moveaxis(d_ls, 1, -1)
+    return (jnp.zeros((B, 12, Hq, W2), src_p.dtype),
+            jnp.zeros_like(tgtq), d_ls_s2d, d_shift2,
+            jnp.zeros_like(mask2))
+
+
+fused_plane_sweep_quad_s2d.defvjp(_fpsqs_fwd, _fpsqs_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Host-side packing helpers (step glue + tests)
 # ---------------------------------------------------------------------------
 

@@ -474,7 +474,11 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
     if use_quad:
         from planedepth_tpu.ops import pallas_sweep_quad as psq
 
-        lsq = psq.quad_ls_from_s2d(outputs["ls_s2d"], in_dtype)
+        # NHWC head straight into the kernel wrapper: ONE Pallas relayout
+        # pass builds the padded NCHW operand (ops/pallas_relayout.py)
+        # instead of the XLA transpose + pad copies (9.3 + 4.2 ms/step in
+        # the r4 trace), and the cotangent comes back NHWC the same way
+        ls_s2d = outputs["ls_s2d"].astype(in_dtype)
         srcq = psq.s2d_image(source, in_dtype)
         tgtq = psq.s2d_image(target, in_dtype)
         # sigma sigmoid+clip already applied in the decoder head conv's
@@ -490,7 +494,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         # whose shifts are disparities >= 0
         nonneg = True
         sweep = shard_kernel(
-            lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad(
+            lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad_s2d(
                 s_, t_, l_, sh_, m_,
                 pad, interpret, n_vertical, with_disp,
                 # NOT cfg.sweep_gp_taps: quad blocks span 2*sweep_rows
@@ -498,12 +502,12 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
                 2 * cfg.sweep_rows, cfg.sweep_gp_taps_quad, with_auto,
                 nonneg,
             ),
-            in_rows=(2, 2, 2, 2, 2),
+            in_rows=(2, 2, 1, 2, 2),
             out_rows=(2, 2) + ((2,) if with_auto else ())
             + ((2,) if with_disp else ()),
             row_block=cfg.sweep_rows,
         )
-        sweep_out = sweep(srcq, tgtq, lsq, psq.split_rows(shift),
+        sweep_out = sweep(srcq, tgtq, ls_s2d, psq.split_rows(shift),
                           psq.split_rows(mask_rows))
         nll = sweep_out[1]                             # (B, 4, H/2, W/2)
         nll_auto = sweep_out[2] if with_auto else None
