@@ -460,15 +460,18 @@ def _fwd_kernel(
             l_n, s_n = sample_ls(n)
             c_n = sample_c(n)                             # (3, R, W)
             corr, e_n, mx = _online_e(l_n, mx)
-            u_n = e_n / s_n
+            # ONE reciprocal per plane: VPU divides are multi-op
+            # reciprocal+Newton sequences — every /s_n below rides r_n
+            r_n = 1.0 / s_n
+            u_n = e_n * r_n
             rgb_acc = rgb_acc * corr[None] + u_n[None] * c_n
             err_n = jnp.abs(c_n - tgt).sum(0) / 3.0
-            M = M * corr + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
+            M = M * corr + e_n * 0.5 * jnp.exp(-err_n * r_n) * r_n
             head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M)
             if with_auto:
                 head = head + (
                     carry[5] * corr
-                    + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n,)
+                    + e_n * 0.5 * jnp.exp(-e_auto * r_n) * r_n,)
             if not with_disp:
                 return head
             mx0, se0, us0, ud0 = carry[nh : nh + 4]
@@ -478,7 +481,7 @@ def _fwd_kernel(
             # re-weighting (the operand logits are already masked), no
             # sigma (models/depth_decoder.py no-mixture disp contraction)
             u0_n = (
-                e0_n * _row_col(mask_ref, n, R) / s0
+                e0_n * _row_col(mask_ref, n, R) * (1.0 / s0)
                 if with_mixture else e0_n
             )
             head = head + (mx0, se0 * corr0 + u0_n * s0,
@@ -694,20 +697,20 @@ def _bwd_kernel(
         c_n, cd_n = sample_cd(n)
         pi_n = jnp.exp(l_n - L)
         e_n = jnp.abs(c_n - tgt).sum(0) / 3.0
-        lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
-        u_n = pi_n / s_n
+        # ONE reciprocal per plane (VPU divides are multi-op sequences);
+        # the seven /s_n of the adjoint algebra all ride r_n / r2_n
+        r_n = 1.0 / s_n
+        lap_n = 0.5 * jnp.exp(-e_n * r_n) * r_n
+        u_n = pi_n * r_n
         wgt_n = u_n * inv_u
         dwgt_n = (G * c_n).sum(0)
         du_n = dwgt_n * inv_u + dU
-        dpi_n = du_n / s_n + dM * lap_n
+        dpi_n = du_n * r_n + dM * lap_n
         dl_n = pi_n * (dpi_n - S)
         dlap_n = dM * pi_n
-        de_n = dlap_n * lap_n * (-1.0 / s_n)
+        de_n = -dlap_n * lap_n * r_n
         if with_mixture:
-            ds_n = (
-                -du_n * pi_n / (s_n * s_n)
-                + dlap_n * lap_n * (e_n - s_n) / (s_n * s_n)
-            )
+            ds_n = (dlap_n * lap_n * (e_n - s_n) - du_n * pi_n) * (r_n * r_n)
             ds_gate = ds_n * ((s_n > 0.01) & (s_n < 1.0))
         else:
             ds_gate = 0.0        # sigma is the constant 1.0: no gradient
@@ -716,8 +719,8 @@ def _bwd_kernel(
         dEa_n = None
         if image_grads:
             dtgt_ref[...] += -sgn * (de_n / 3.0)[None]
-            lapa_n = 0.5 * jnp.exp(-e_auto / s_n) / s_n
-            dEa_n = pi_n * lapa_n * (-1.0 / s_n)
+            lapa_n = 0.5 * jnp.exp(-e_auto * r_n) * r_n
+            dEa_n = -pi_n * lapa_n * r_n
         # d/dshift: one (R,) reduction over the live tap diffs (the
         # diffs carry the mask; the adjoints are multiplied by it anyway)
         dshift_r = (
@@ -732,16 +735,17 @@ def _bwd_kernel(
             du0 = g_over_u0 * (_row_col(shift_ref, n, R) - disp0)
             if with_mixture:
                 s0_n = jnp.clip(s0_raw, 0.01, 1.0)
-                dp0 = du0 * m / s0_n
+                r0_n = 1.0 / s0_n
+                dp0 = du0 * m * r0_n
                 dl0_n = p0_n * dp0      # softmax coupling S0 == 0
                 # clip pass-through gate on the RAW center sigma: outside
                 # (0.01, 1) the forward is flat, so d_sigma there is 0
                 gate0 = (s0_raw > 0.01) & (s0_raw < 1.0)
-                ds0_n = -du0 * p0_n * m / (s0_n * s0_n) * gate0
+                ds0_n = -du0 * p0_n * m * (r0_n * r0_n) * gate0
                 # shift doubles as the per-plane disparity d_n: its
                 # cotangent gains the disp-head term sum_x g/U0 * u0
                 dshift_r = dshift_r + jnp.sum(
-                    g_over_u0 * p0_n * m / s0_n, axis=1
+                    g_over_u0 * p0_n * m * r0_n, axis=1
                 )
             else:
                 # plain softmax expectation (no mask/sigma re-weighting

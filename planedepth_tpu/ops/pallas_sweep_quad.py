@@ -415,22 +415,25 @@ def _fwd_kernel_q(
             l_n, s_n = sample_ls(n)
             c_n = sample_c(n)                             # (4, 3, Rq, W2)
             corr, e_n, mx = _online_e(l_n, mx)
-            u_n = e_n / s_n
+            # ONE reciprocal per plane: VPU divides are multi-op
+            # reciprocal+Newton sequences — every /s_n below rides r_n
+            r_n = 1.0 / s_n
+            u_n = e_n * r_n
             rgb_acc = rgb_acc * corr[:, None] + u_n[:, None] * c_n
             err_n = jnp.abs(c_n - tgt).sum(1) / 3.0
-            M = M * corr + e_n * 0.5 * jnp.exp(-err_n / s_n) / s_n
+            M = M * corr + e_n * 0.5 * jnp.exp(-err_n * r_n) * r_n
             head = (mx, se * corr + e_n, us * corr + u_n, rgb_acc, M)
             if with_auto:
                 Ma = carry[5]
                 head = head + (
-                    Ma * corr + e_n * 0.5 * jnp.exp(-e_auto / s_n) / s_n,)
+                    Ma * corr + e_n * 0.5 * jnp.exp(-e_auto * r_n) * r_n,)
             if not with_disp:
                 return head
             mx0, se0, us0, ud0 = carry[nh : nh + 4]
             l0, s0_raw = sm.center_ls(n)
             s0 = jnp.clip(s0_raw, 0.01, 1.0)
             corr0, e0_n, mx0 = _online_e(l0, mx0)
-            u0_n = e0_n * sm.mask4(n) / s0
+            u0_n = e0_n * sm.mask4(n) * (1.0 / s0)
             head = head + (mx0, se0 * corr0 + u0_n * s0,
                            us0 * corr0 + u0_n,
                            ud0 * corr0 + u0_n * sm.row4(shift_ref, n))
@@ -574,18 +577,19 @@ def _bwd_kernel_q(
         gcd_n = (G * cd_n).sum(1)
         scd_n = (jnp.sign(diff) * cd_n).sum(1)
         pi_n = jnp.exp(l_n - L)
-        lap_n = 0.5 * jnp.exp(-e_n / s_n) / s_n
-        u_n = pi_n / s_n
+        # ONE reciprocal per plane (VPU divides are multi-op sequences);
+        # the seven /s_n of the adjoint algebra all ride r_n / r2_n
+        r_n = 1.0 / s_n
+        r2_n = r_n * r_n
+        lap_n = 0.5 * jnp.exp(-e_n * r_n) * r_n
+        u_n = pi_n * r_n
         wgt_n = u_n * inv_u
         du_n = gc_n * inv_u + dU
-        dpi_n = du_n / s_n + dM * lap_n
+        dpi_n = du_n * r_n + dM * lap_n
         dl_n = pi_n * (dpi_n - S_)
         dlap_n = dM * pi_n
-        de_n = dlap_n * lap_n * (-1.0 / s_n)
-        ds_n = (
-            -du_n * pi_n / (s_n * s_n)
-            + dlap_n * lap_n * (e_n - s_n) / (s_n * s_n)
-        )
+        de_n = -dlap_n * lap_n * r_n
+        ds_n = (dlap_n * lap_n * (e_n - s_n) - du_n * pi_n) * r2_n
         ds_gate = ds_n * ((s_n > 0.01) & (s_n < 1.0))
         # d/dshift per FULL-res row: sum the (4, Rq, W2) tap-diff products
         # over px phases and half-columns -> (2, Rq).  sum_c dc.cd with
@@ -605,12 +609,13 @@ def _bwd_kernel_q(
             l0, s0_raw = sm.center_ls(n)
             p0_n = jnp.exp(l0 - L0)
             s0_n = jnp.clip(s0_raw, 0.01, 1.0)
+            r0_n = 1.0 / s0_n
             du0 = g_over_u0 * (sm.row4(shift_ref, n) - disp0)
-            dp0 = du0 * m4 / s0_n
+            dp0 = du0 * m4 * r0_n
             dl0_n = p0_n * dp0          # softmax coupling S0 == 0
             gate0 = (s0_raw > 0.01) & (s0_raw < 1.0)
-            ds0_n = -du0 * p0_n * m4 / (s0_n * s0_n) * gate0
-            extra = (g_over_u0 * p0_n * m4 / s0_n).sum(2)   # (4, Rq)
+            ds0_n = -du0 * p0_n * m4 * (r0_n * r0_n) * gate0
+            extra = (g_over_u0 * p0_n * m4 * r0_n).sum(2)   # (4, Rq)
             dshift2 = dshift2 + jnp.stack(
                 [extra[0] + extra[1], extra[2] + extra[3]])
         return dl_n, ds_gate, dshift2, dl0_n, ds0_n
@@ -1031,9 +1036,10 @@ def _relayout_rows(Hq: int) -> int:
 
 
 def _relayout_ok(ls_s2d, lpad: int, rpad: int) -> bool:
-    _, Hq, W2, _ = ls_s2d.shape
-    return (W2 % 128 == 0 and lpad % 128 == 0 and rpad % 128 == 0
-            and Hq % _relayout_rows(Hq) == 0)
+    # rows is chosen by _relayout_rows to divide Hq (worst case 1), so
+    # only the lane-alignment of the width/pads gates the kernel path
+    W2 = ls_s2d.shape[2]
+    return W2 % 128 == 0 and lpad % 128 == 0 and rpad % 128 == 0
 
 
 def _pack_quad_operands(srcq, ls_s2d, pad, gp_taps, nonneg, interpret):
@@ -1055,6 +1061,22 @@ def _pack_quad_operands(srcq, ls_s2d, pad, gp_taps, nonneg, interpret):
     return src_p, ls_p, lpad, rpad
 
 
+def _fpsqs_call(srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret,
+                n_vertical, with_disp, rows, gp_taps, with_auto, nonneg,
+                with_stats):
+    """Shared pack + forward call for the s2d entry's primal and VJP-fwd
+    (they differ only in ``with_stats``)."""
+    src_p, ls_p, _, _ = _pack_quad_operands(
+        srcq, ls_s2d, pad, gp_taps, nonneg, interpret)
+    out = _fwd_call_q(
+        src_p, tgtq, ls_p, shift2, mask2, pad=pad, rows=rows,
+        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
+        gp_taps=gp_taps, with_stats=with_stats, nonneg=nonneg,
+        pre_padded=True, with_auto=with_auto,
+    )
+    return out, src_p, ls_p
+
+
 @functools.partial(jax.custom_vjp,
                    nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def fused_plane_sweep_quad_s2d(srcq, tgtq, ls_s2d, shift2, mask2,
@@ -1065,26 +1087,17 @@ def fused_plane_sweep_quad_s2d(srcq, tgtq, ls_s2d, shift2, mask2,
     """Quad plane-sweep taking the decoder's ``ls_s2d (B, H/2, W/2, 4*2N)``
     NHWC head directly; otherwise identical to :func:`fused_plane_sweep_quad`.
     """
-    src_p, ls_p, _, _ = _pack_quad_operands(
-        srcq, ls_s2d, pad, gp_taps, nonneg, interpret)
-    return _fwd_call_q(
-        src_p, tgtq, ls_p, shift2, mask2, pad=pad, rows=rows,
-        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps, nonneg=nonneg, pre_padded=True,
-        with_auto=with_auto,
-    )
+    out, _, _ = _fpsqs_call(
+        srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret, n_vertical,
+        with_disp, rows, gp_taps, with_auto, nonneg, with_stats=False)
+    return out
 
 
 def _fpsqs_fwd(srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret,
                n_vertical, with_disp, rows, gp_taps, with_auto, nonneg):
-    src_p, ls_p, _, _ = _pack_quad_operands(
-        srcq, ls_s2d, pad, gp_taps, nonneg, interpret)
-    out = _fwd_call_q(
-        src_p, tgtq, ls_p, shift2, mask2, pad=pad, rows=rows,
-        interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
-        gp_taps=gp_taps, with_stats=True, nonneg=nonneg, pre_padded=True,
-        with_auto=with_auto,
-    )
+    out, src_p, ls_p = _fpsqs_call(
+        srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret, n_vertical,
+        with_disp, rows, gp_taps, with_auto, nonneg, with_stats=True)
     out, stats = out[:-1], out[-1]
     return out, (src_p, tgtq, ls_p, shift2, mask2, stats, out[0])
 

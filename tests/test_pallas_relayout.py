@@ -81,28 +81,33 @@ def _mk_data(B=2, H=16, W=256, N=6, NV=4, seed=3):
             jnp.asarray(shift), jnp.asarray(mask))
 
 
+@pytest.mark.parametrize("nonneg", [True, False])
 @pytest.mark.parametrize("with_disp", [False, True])
-def test_s2d_entry_matches_quad(with_disp):
+def test_s2d_entry_matches_quad(with_disp, nonneg):
     """fused_plane_sweep_quad_s2d (Pallas relayout in its fwd AND bwd at
-    this aligned shape: W2=128, pads 0/256) == the quad kernel fed by the
-    XLA repack, values + d_ls_s2d + d_shift."""
+    this aligned shape: W2=128, nonneg pads 0/256, signed pads 128/256 —
+    the lpad=128 halo rotation rides the relayout kernel too) == the quad
+    kernel fed by the XLA repack, values + d_ls_s2d + d_shift."""
     N, NV = 6, 4
     src, tgt, ls_s2d, shift, mask = _mk_data(N=N, NV=NV)
     srcq = q.s2d_image(src)
     tgtq = q.s2d_image(tgt)
     sh2, mk2 = q.split_rows(shift), q.split_rows(mask)
-    assert q._relayout_ok(ls_s2d, 0, 256)
+    pad2 = q._quad_pad(PAD, GP_TAPS)
+    lpad = q._quad_lpad(pad2, nonneg)
+    assert lpad == (0 if nonneg else 128)
+    assert q._relayout_ok(ls_s2d, lpad, pad2 + q._quad_slack(pad2, GP_TAPS))
 
     def run_ref(ls_, sh_):
         return q.fused_plane_sweep_quad(
             srcq, tgtq, q.quad_ls_from_s2d(ls_), sh_, mk2,
-            PAD, True, NV, with_disp, ROWS, GP_TAPS, True, True,
+            PAD, True, NV, with_disp, ROWS, GP_TAPS, True, nonneg,
         )
 
     def run_s2d(ls_, sh_):
         return q.fused_plane_sweep_quad_s2d(
             srcq, tgtq, ls_, sh_, mk2,
-            PAD, True, NV, with_disp, ROWS, GP_TAPS, True, True,
+            PAD, True, NV, with_disp, ROWS, GP_TAPS, True, nonneg,
         )
 
     ref = run_ref(ls_s2d, sh2)
