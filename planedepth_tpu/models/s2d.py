@@ -142,8 +142,14 @@ def phase_pad(x4: jnp.ndarray, mode: str) -> jnp.ndarray:
     phase 1 of packed row 0 under reflect (level-up +1) or phase 0 of
     packed row 0 under edge (level-up 0); symmetrically at the bottom.
     Only that phase slot is ever read by the conv — the other slot is
-    filled with the same source (don't-care).  No transposes: both axes
-    are padded with direct slices of the phase-split view.
+    filled with the same source (don't-care).
+
+    Built as border STRIPS (channel-block slices of the edge rows/cols)
+    concatenated around the body: the strips are ~1/Hq of the tensor,
+    the adjoint of concat is a slice, and no 6-D phase view is ever
+    materialized (the previous reshape/stack form paid two full-tensor
+    relayout copies per call — "reshape" + "copy" lines of the r4 trace).
+    Parity vs the reshape form: tests/test_s2d.py.
     """
     B, Hq, Wq, C4 = x4.shape
     C = C4 // 4
@@ -152,21 +158,37 @@ def phase_pad(x4: jnp.ndarray, mode: str) -> jnp.ndarray:
         # row -1, so one packed pixel of zeros covers it exactly (read
         # slots and don't-care slots are all genuinely zero)
         return jnp.pad(x4, [(0, 0), (1, 1), (1, 1), (0, 0)])
-    x = x4.reshape(B, Hq, Wq, 2, 2, C)         # (b, i, j, py, px, c)
     r = int(mode == "reflect")
-    # rows: dims (py at -3)
-    top_src = x[:, :1, :, r, :, :]             # (B, 1, Wq, 2, C)
-    bot_src = x[:, -1:, :, 1 - r, :, :]
-    top = jnp.stack([top_src, top_src], axis=3)
-    bot = jnp.stack([bot_src, bot_src], axis=3)
-    x = jnp.concatenate([top, x, bot], axis=1)
-    # columns: dims (px at -2)
-    left_src = x[:, :, :1, :, r, :]            # (B, Hq+2, 1, 2, C)
-    right_src = x[:, :, -1:, :, 1 - r, :]
-    left = jnp.stack([left_src, left_src], axis=4)
-    right = jnp.stack([right_src, right_src], axis=4)
-    x = jnp.concatenate([left, x, right], axis=2)
-    return x.reshape(B, Hq + 2, Wq + 2, C4)
+
+    def blk(t, i):
+        return t[..., i * C:(i + 1) * C]
+
+    def row_border(row, rr):
+        """Top/bottom strip from an edge row: out phase (py, px) reads
+        source phase (rr, px) — both py slots carry the same half."""
+        half = jnp.concatenate([blk(row, 2 * rr), blk(row, 2 * rr + 1)], -1)
+        return jnp.concatenate([half, half], -1)
+
+    def col_border(col, rr):
+        """Left/right strip from an edge column: out phase (py, px) reads
+        source phase (py, rr) — both px slots per py."""
+        return jnp.concatenate(
+            [blk(col, rr), blk(col, rr), blk(col, 2 + rr), blk(col, 2 + rr)],
+            -1,
+        )
+
+    top = row_border(x4[:, :1], r)                    # (B, 1, Wq, C4)
+    bot = row_border(x4[:, -1:], 1 - r)
+    left_mid = col_border(x4[:, :, :1], r)            # (B, Hq, 1, C4)
+    right_mid = col_border(x4[:, :, -1:], 1 - r)
+    # corners = column transform of the row strips' edge pixels (the
+    # reshape form applied the column pad AFTER the row pad)
+    tl, tr = col_border(top[:, :, :1], r), col_border(top[:, :, -1:], 1 - r)
+    bl, br = col_border(bot[:, :, :1], r), col_border(bot[:, :, -1:], 1 - r)
+    top_full = jnp.concatenate([tl, top, tr], axis=2)
+    bot_full = jnp.concatenate([bl, bot, br], axis=2)
+    mid = jnp.concatenate([left_mid, x4, right_mid], axis=2)
+    return jnp.concatenate([top_full, mid, bot_full], axis=1)
 
 
 def conv_valid(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,

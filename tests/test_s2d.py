@@ -65,6 +65,41 @@ def test_s2d_conv_kernel_matches_composition():
                                rtol=1e-5, atol=1e-5)
 
 
+def _phase_pad_reshape(x4, mode):
+    """Original 6-D reshape/stack form of phase_pad — the oracle for the
+    strip-based implementation (values must be bit-equal)."""
+    B, Hq, Wq, C4 = x4.shape
+    C = C4 // 4
+    x = x4.reshape(B, Hq, Wq, 2, 2, C)
+    r = int(mode == "reflect")
+    top_src = x[:, :1, :, r, :, :]
+    bot_src = x[:, -1:, :, 1 - r, :, :]
+    x = jnp.concatenate(
+        [jnp.stack([top_src, top_src], axis=3), x,
+         jnp.stack([bot_src, bot_src], axis=3)], axis=1)
+    left_src = x[:, :, :1, :, r, :]
+    right_src = x[:, :, -1:, :, 1 - r, :]
+    x = jnp.concatenate(
+        [jnp.stack([left_src, left_src], axis=4), x,
+         jnp.stack([right_src, right_src], axis=4)], axis=2)
+    return x.reshape(B, Hq + 2, Wq + 2, C4)
+
+
+@pytest.mark.parametrize("mode", ["reflect", "edge"])
+def test_phase_pad_strip_form_matches_reshape_form(mode):
+    x4 = jnp.asarray(RNG.random((2, 5, 7, 12)), jnp.float32)
+    got = s2d.phase_pad(x4, mode)
+    ref = _phase_pad_reshape(x4, mode)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # adjoint parity: grad of a random-weighted sum
+    w = jnp.asarray(RNG.standard_normal(ref.shape), jnp.float32)
+    g_got = jax.grad(lambda t: jnp.sum(w * s2d.phase_pad(t, mode)))(x4)
+    g_ref = jax.grad(lambda t: jnp.sum(w * _phase_pad_reshape(t, mode)))(x4)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_phase_pad_edge_matches_upper_level_edge():
     z = jnp.asarray(RNG.random((1, 6, 8, 2)), jnp.float32)
     k = jnp.asarray(RNG.standard_normal((3, 3, 2, 3)), jnp.float32)
