@@ -69,14 +69,17 @@ def relayout_pad_nchw(x, lpad: int, rpad: int, rows: int = 8,
         kernel,
         grid=(B, H // R, ttiles),
         in_specs=[
-            # halo tiles (t >= wtiles) pin the input block to tile 0 — a
-            # dummy fetch; the kernel writes zeros there.  The left halo
+            # halo tiles (t >= wtiles) pin the input block to the LAST
+            # data tile: the pipeline skips the DMA when the block index
+            # repeats between consecutive grid steps, so the halo steps
+            # (which immediately follow data tile wtiles-1 and write
+            # zeros) cost no input bandwidth at all.  The left halo
             # (signed mode only; production nonneg lpad = 0) is rotated
             # to the right of the grid and the output index map unrotates
             # it so tiles [0, ltiles) of the OUTPUT are the zero halo.
             pl.BlockSpec(
                 (None, R, 128, C),
-                lambda b, h, t: (b, h, jnp.where(t < wtiles, t, 0), 0),
+                lambda b, h, t: (b, h, jnp.minimum(t, wtiles - 1), 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
