@@ -336,15 +336,12 @@ class DepthDecoder(nn.Module):
             )                                  # (B, H/2, W/2, 4*2N)
             if head_f32:
                 ls4 = ls4.astype(jnp.float32)
-            # sigma sigmoid+clip (odd channels of every phase block, 2N
-            # even) applied HERE, in the head conv's epilogue: the r4
-            # trace showed the pack-site placement ran as a standalone
-            # 3.3 ms full-res clamp_select pass (it never fused with the
-            # kernel operand pad); as a conv epilogue it is free.
-            nch = ls4.shape[-1]
-            is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(1, 1, 1, nch)
-            ls4 = jnp.where(
-                is_sigma, jnp.clip(jax.nn.sigmoid(ls4), 0.01, 1.0), ls4)
+            # RAW head: the sigma sigmoid+clip epilogue
+            # (ops/pallas_sweep_quad.ls_epilogue) is applied by the
+            # CONSUMER — inside the relayout kernel on the aligned quad
+            # path (free there; r5 trace showed any XLA placement runs as
+            # a standalone full-res clamp_select between two layout
+            # copies, ~11 ms/step), in XLA on the v1/fallback paths.
             outputs["ls_s2d"] = ls4
             return outputs
 

@@ -33,14 +33,26 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 
 
-def _fwd_kernel(x_ref, o_ref, *, R: int, C: int, wtiles: int):
+def _fwd_kernel(x_ref, o_ref, *, R: int, C: int, wtiles: int,
+                sigma_epilogue: bool):
     """(R, 128, C) NHWC block -> (C, R, 128) NCHW block (or zeros in the
-    halo region, where the index map pins the input to tile 0)."""
+    halo region, where the index map pins the input to the last data
+    tile).  ``sigma_epilogue`` applies the mixture head's per-channel
+    ``clip(sigmoid(x), 0.01, 1)`` to the ODD (sigma) channels of the raw
+    interleaved head — free here, vs the standalone full-res
+    clamp_select pass + the two layout copies around it that XLA
+    schedules when the epilogue runs between the head conv and this
+    kernel (r5 trace: 3.3 + 4.6 + 3.1 ms/step at the flagship shape)."""
     t = pl.program_id(2)
 
     @pl.when(t < wtiles)
     def _data():
         x = x_ref[...].reshape(R * 128, C)
+        if sigma_epilogue:
+            is_sigma = (jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+                        % 2) == 1
+            x = jnp.where(is_sigma,
+                          jnp.clip(jax.nn.sigmoid(x), 0.01, 1.0), x)
         o_ref[...] = x.T.reshape(C, R, 128).astype(o_ref.dtype)
 
     @pl.when(t >= wtiles)
@@ -49,11 +61,13 @@ def _fwd_kernel(x_ref, o_ref, *, R: int, C: int, wtiles: int):
 
 
 def relayout_pad_nchw(x, lpad: int, rpad: int, rows: int = 8,
-                      interpret: bool = False, out_dtype=None):
+                      interpret: bool = False, out_dtype=None,
+                      sigma_epilogue: bool = False):
     """``(B, H, W, C)`` -> ``(B, C, H, W + lpad + rpad)`` zero-padded on W.
 
     ``lpad``/``rpad`` must be multiples of 128 (the production quad halo
     is 128-aligned by construction, ops/pallas_sweep_quad.py:_quad_pad).
+    ``sigma_epilogue``: see :func:`_fwd_kernel`.
     """
     B, H, W, C = x.shape
     R = rows
@@ -64,7 +78,8 @@ def relayout_pad_nchw(x, lpad: int, rpad: int, rows: int = 8,
     ltiles = lpad // 128
     ttiles = wtiles + ltiles + rpad // 128
 
-    kernel = functools.partial(_fwd_kernel, R=R, C=C, wtiles=wtiles)
+    kernel = functools.partial(_fwd_kernel, R=R, C=C, wtiles=wtiles,
+                               sigma_epilogue=sigma_epilogue)
     out = pl.pallas_call(
         kernel,
         grid=(B, H // R, ttiles),

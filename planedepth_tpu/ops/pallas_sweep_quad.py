@@ -1042,7 +1042,30 @@ def _relayout_ok(ls_s2d, lpad: int, rpad: int) -> bool:
     return W2 % 128 == 0 and lpad % 128 == 0 and rpad % 128 == 0
 
 
-def _pack_quad_operands(srcq, ls_s2d, pad, gp_taps, nonneg, interpret):
+def ls_epilogue(ls_s2d):
+    """Mixture-head epilogue on the RAW interleaved (l, s) head: odd
+    channels (sigma) -> ``clip(sigmoid(x), 0.01, 1)`` (reference
+    depth_decoder.py:278-279).  The aligned quad path applies this inside
+    the relayout kernel instead (``sigma_epilogue=True``) — as a
+    standalone XLA pass between the head conv and the kernel it cost a
+    3.3 ms clamp_select plus two 3-4.6 ms layout copies per step."""
+    nch = ls_s2d.shape[-1]
+    is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(1, 1, 1, nch)
+    return jnp.where(
+        is_sigma, jnp.clip(jax.nn.sigmoid(ls_s2d), 0.01, 1.0), ls_s2d)
+
+
+def _ls_epilogue_vjp(ls_s2d, d_post):
+    """Cotangent of :func:`ls_epilogue` at the raw head ``ls_s2d``."""
+    nch = d_post.shape[-1]
+    is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(1, 1, 1, nch)
+    s = jnp.clip(jax.nn.sigmoid(ls_s2d.astype(d_post.dtype)), 0.01, 1.0)
+    gate = ((s > 0.01) & (s < 1.0)).astype(d_post.dtype)
+    return jnp.where(is_sigma, d_post * s * (1.0 - s) * gate, d_post)
+
+
+def _pack_quad_operands(srcq, ls_s2d, pad, gp_taps, nonneg, interpret,
+                        sigma_epilogue=False):
     """(srcq NCHW, ls_s2d NHWC) -> the pre-padded kernel operands."""
     pad2 = _quad_pad(pad, gp_taps)
     lpad = _quad_lpad(pad2, nonneg)
@@ -1053,21 +1076,23 @@ def _pack_quad_operands(srcq, ls_s2d, pad, gp_taps, nonneg, interpret):
 
         ls_p = relayout_pad_nchw(
             ls_s2d, lpad, rpad, rows=_relayout_rows(ls_s2d.shape[1]),
-            interpret=interpret,
+            interpret=interpret, sigma_epilogue=sigma_epilogue,
         )
     else:
         # tiny/unaligned shapes (CPU tests, dryrun): the XLA repack
+        if sigma_epilogue:
+            ls_s2d = ls_epilogue(ls_s2d)
         ls_p = _pad_lr(quad_ls_from_s2d(ls_s2d), lpad, rpad)
     return src_p, ls_p, lpad, rpad
 
 
 def _fpsqs_call(srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret,
                 n_vertical, with_disp, rows, gp_taps, with_auto, nonneg,
-                with_stats):
+                sigma_epilogue, with_stats):
     """Shared pack + forward call for the s2d entry's primal and VJP-fwd
     (they differ only in ``with_stats``)."""
     src_p, ls_p, _, _ = _pack_quad_operands(
-        srcq, ls_s2d, pad, gp_taps, nonneg, interpret)
+        srcq, ls_s2d, pad, gp_taps, nonneg, interpret, sigma_epilogue)
     out = _fwd_call_q(
         src_p, tgtq, ls_p, shift2, mask2, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
@@ -1078,33 +1103,45 @@ def _fpsqs_call(srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def fused_plane_sweep_quad_s2d(srcq, tgtq, ls_s2d, shift2, mask2,
                                pad: int, interpret: bool = False,
                                n_vertical: int = 0, with_disp: bool = False,
                                rows: int = 16, gp_taps: int = 0,
-                               with_auto: bool = True, nonneg: bool = False):
+                               with_auto: bool = True, nonneg: bool = False,
+                               sigma_epilogue: bool = False):
     """Quad plane-sweep taking the decoder's ``ls_s2d (B, H/2, W/2, 4*2N)``
     NHWC head directly; otherwise identical to :func:`fused_plane_sweep_quad`.
+
+    ``sigma_epilogue``: the head is the decoder's RAW merged conv output
+    and the mixture sigma transform (:func:`ls_epilogue`) is applied
+    inside the relayout pass — see ops/pallas_relayout.py.
     """
     out, _, _ = _fpsqs_call(
         srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret, n_vertical,
-        with_disp, rows, gp_taps, with_auto, nonneg, with_stats=False)
+        with_disp, rows, gp_taps, with_auto, nonneg, sigma_epilogue,
+        with_stats=False)
     return out
 
 
 def _fpsqs_fwd(srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret,
-               n_vertical, with_disp, rows, gp_taps, with_auto, nonneg):
+               n_vertical, with_disp, rows, gp_taps, with_auto, nonneg,
+               sigma_epilogue):
     out, src_p, ls_p = _fpsqs_call(
         srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret, n_vertical,
-        with_disp, rows, gp_taps, with_auto, nonneg, with_stats=True)
+        with_disp, rows, gp_taps, with_auto, nonneg, sigma_epilogue,
+        with_stats=True)
     out, stats = out[:-1], out[-1]
-    return out, (src_p, tgtq, ls_p, shift2, mask2, stats, out[0])
+    # ls_s2d (the raw head) is only a residual under sigma_epilogue —
+    # the adjoint recomputes sigma from it; it is the decoder conv's
+    # live output either way, so this adds no HBM
+    res_ls = ls_s2d if sigma_epilogue else None
+    return out, (src_p, tgtq, ls_p, shift2, mask2, stats, out[0], res_ls)
 
 
 def _fpsqs_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps,
-               with_auto, nonneg, res, cts):
-    src_p, tgtq, ls_p, shift2, mask2, stats, rgb = res
+               with_auto, nonneg, sigma_epilogue, res, cts):
+    src_p, tgtq, ls_p, shift2, mask2, stats, rgb, raw_ls = res
     di = 3 if with_auto else 2
     g_disp = cts[di] if with_disp else None
     d_ls, d_shift2 = sweep_backward_quad(
@@ -1118,6 +1155,10 @@ def _fpsqs_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps,
     # (scripts/validate_relayout_tpu.py) — XLA wins the C-minor WRITE side
     B, _, Hq, W2 = tgtq.shape
     d_ls_s2d = jnp.moveaxis(d_ls, 1, -1)
+    if sigma_epilogue:
+        # chain through the in-kernel epilogue: elementwise, fuses into
+        # the surrounding NHWC loop fusions
+        d_ls_s2d = _ls_epilogue_vjp(raw_ls, d_ls_s2d)
     return (jnp.zeros((B, 12, Hq, W2), src_p.dtype),
             jnp.zeros_like(tgtq), d_ls_s2d, d_shift2,
             jnp.zeros_like(mask2))

@@ -428,7 +428,12 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
         tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
         if packed:
-            heads = (plane_first(outputs["ls_s2d"]),)
+            # the decoder emits the merged head RAW; the mixture sigma
+            # epilogue rides here (XLA) on the v1 path, in the relayout
+            # kernel on the quad path
+            from planedepth_tpu.ops.pallas_sweep_quad import ls_epilogue
+
+            heads = (plane_first(ls_epilogue(outputs["ls_s2d"])),)
         elif not cfg.model.use_mixture_loss:
             heads = (jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1),)
         else:
@@ -481,10 +486,11 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         ls_s2d = outputs["ls_s2d"].astype(in_dtype)
         srcq = psq.s2d_image(source, in_dtype)
         tgtq = psq.s2d_image(target, in_dtype)
-        # sigma sigmoid+clip already applied in the decoder head conv's
-        # epilogue (models/depth_decoder.py) — free there, vs the 3.3 ms
-        # standalone clamp_select pass the r4 trace measured at this
-        # site.  nonneg: shifts are
+        # sigma_epilogue: the head is RAW (models/depth_decoder.py); the
+        # mixture sigma sigmoid+clip runs inside the relayout pass —
+        # every XLA placement of it (decoder epilogue, pack site) ran as
+        # a standalone full-res clamp_select between two layout copies
+        # (~11 ms/step, r5 trace).  nonneg: shifts are
         # disparities (>= 0), so the kernel operands skip the left halo.
         # with_auto only when the recipe automasks — otherwise the kernel
         # skips the automask mixture (one exp per plane per pixel).
@@ -500,7 +506,7 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
                 # NOT cfg.sweep_gp_taps: quad blocks span 2*sweep_rows
                 # full-res rows, needing the 16-row spread bound (14)
                 2 * cfg.sweep_rows, cfg.sweep_gp_taps_quad, with_auto,
-                nonneg,
+                nonneg, True,
             ),
             in_rows=(2, 2, 1, 2, 2),
             out_rows=(2, 2) + ((2,) if with_auto else ())

@@ -141,6 +141,53 @@ def test_s2d_entry_matches_quad(with_disp, nonneg):
         )
 
 
+def test_s2d_entry_sigma_epilogue():
+    """sigma_epilogue=True on a RAW head (epilogue inside the relayout
+    kernel at this aligned shape) == ls_epilogue applied in XLA + the
+    plain entry — values and gradients w.r.t. the raw head + shift."""
+    N, NV = 6, 4
+    src, tgt, _, shift, mask = _mk_data(N=N, NV=NV)
+    rng = np.random.RandomState(11)
+    raw = jnp.asarray(rng.randn(2, 8, 128, 8 * N).astype(np.float32))
+    srcq = q.s2d_image(src)
+    tgtq = q.s2d_image(tgt)
+    sh2, mk2 = q.split_rows(shift), q.split_rows(mask)
+
+    def run(ls_, sh_, epi):
+        ls_in = ls_ if epi else q.ls_epilogue(ls_)
+        return q.fused_plane_sweep_quad_s2d(
+            srcq, tgtq, ls_in, sh_, mk2,
+            PAD, True, NV, True, ROWS, GP_TAPS, True, True, epi,
+        )
+
+    ref = run(raw, sh2, False)
+    got = run(raw, sh2, True)
+    for i, (r, g) in enumerate(zip(ref, got)):
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32), np.asarray(r, np.float32),
+            rtol=2e-6, atol=2e-6, err_msg=f"output {i}",
+        )
+
+    ws = [jnp.asarray(rng.randn(*np.asarray(o).shape).astype(np.float32))
+          for o in ref]
+
+    def loss(epi, ls_, sh_):
+        return sum(jnp.sum(w * o) for w, o in zip(ws, run(ls_, sh_, epi)))
+
+    v_ref, (dls_ref, dsh_ref) = jax.value_and_grad(
+        lambda a, b: loss(False, a, b), argnums=(0, 1))(raw, sh2)
+    v_got, (dls_got, dsh_got) = jax.value_and_grad(
+        lambda a, b: loss(True, a, b), argnums=(0, 1))(raw, sh2)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-6)
+    for name, rg, gg in (("d_raw", dls_ref, dls_got),
+                         ("d_shift", dsh_ref, dsh_got)):
+        scale = max(float(jnp.max(jnp.abs(rg))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gg) / scale, np.asarray(rg) / scale,
+            rtol=1e-6, atol=1e-6, err_msg=name,
+        )
+
+
 def test_s2d_entry_unaligned_fallback():
     """Unaligned W2 (not a 128 multiple) must take the XLA repack branch
     and still match — the CPU-test / dryrun shapes ride this."""
