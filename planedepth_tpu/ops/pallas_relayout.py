@@ -49,10 +49,14 @@ def _fwd_kernel(x_ref, o_ref, *, R: int, C: int, wtiles: int,
     def _data():
         x = x_ref[...].reshape(R * 128, C)
         if sigma_epilogue:
+            # compute in f32 with one store-rounding (Mosaic rejects the
+            # weak-typed f32 clip constants against a bf16 vector; the
+            # XLA helper ls_epilogue mirrors this exactly)
+            xf = x.astype(F32)
             is_sigma = (jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
                         % 2) == 1
             x = jnp.where(is_sigma,
-                          jnp.clip(jax.nn.sigmoid(x), 0.01, 1.0), x)
+                          jnp.clip(jax.nn.sigmoid(xf), 0.01, 1.0), xf)
         o_ref[...] = x.T.reshape(C, R, 128).astype(o_ref.dtype)
 
     @pl.when(t >= wtiles)

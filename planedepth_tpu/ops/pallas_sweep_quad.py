@@ -1048,20 +1048,25 @@ def ls_epilogue(ls_s2d):
     depth_decoder.py:278-279).  The aligned quad path applies this inside
     the relayout kernel instead (``sigma_epilogue=True``) — as a
     standalone XLA pass between the head conv and the kernel it cost a
-    3.3 ms clamp_select plus two 3-4.6 ms layout copies per step."""
+    3.3 ms clamp_select plus two 3-4.6 ms layout copies per step.
+    f32 compute + one rounding to the input dtype, matching the
+    in-kernel variant (ops/pallas_relayout.py:_fwd_kernel)."""
     nch = ls_s2d.shape[-1]
     is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(1, 1, 1, nch)
-    return jnp.where(
-        is_sigma, jnp.clip(jax.nn.sigmoid(ls_s2d), 0.01, 1.0), ls_s2d)
+    xf = ls_s2d.astype(jnp.float32)
+    out = jnp.where(is_sigma, jnp.clip(jax.nn.sigmoid(xf), 0.01, 1.0), xf)
+    return out.astype(ls_s2d.dtype)
 
 
 def _ls_epilogue_vjp(ls_s2d, d_post):
     """Cotangent of :func:`ls_epilogue` at the raw head ``ls_s2d``."""
     nch = d_post.shape[-1]
     is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(1, 1, 1, nch)
-    s = jnp.clip(jax.nn.sigmoid(ls_s2d.astype(d_post.dtype)), 0.01, 1.0)
-    gate = ((s > 0.01) & (s < 1.0)).astype(d_post.dtype)
-    return jnp.where(is_sigma, d_post * s * (1.0 - s) * gate, d_post)
+    s = jnp.clip(jax.nn.sigmoid(ls_s2d.astype(jnp.float32)), 0.01, 1.0)
+    gate = ((s > 0.01) & (s < 1.0)).astype(jnp.float32)
+    d = d_post.astype(jnp.float32)
+    out = jnp.where(is_sigma, d * s * (1.0 - s) * gate, d)
+    return out.astype(d_post.dtype)
 
 
 def _pack_quad_operands(srcq, ls_s2d, pad, gp_taps, nonneg, interpret,
