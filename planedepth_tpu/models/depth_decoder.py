@@ -332,17 +332,21 @@ class DepthDecoder(nn.Module):
             bm = jnp.stack([bl, bs], axis=-1).reshape(2 * all_levels)
             ls4 = s2d.conv_valid(
                 s2d.phase_pad(z4, "reflect"), s2d.s2d_conv_kernel(km),
-                s2d.tile_bias(bm), self.dtype,
+                None, self.dtype,
             )                                  # (B, H/2, W/2, 4*2N)
             if head_f32:
                 ls4 = ls4.astype(jnp.float32)
-            # RAW head: the sigma sigmoid+clip epilogue
-            # (ops/pallas_sweep_quad.ls_epilogue) is applied by the
+            # RAW head, conv WITHOUT its bias: both the bias add and the
+            # sigma sigmoid+clip epilogue
+            # (ops/pallas_sweep_quad.ls_epilogue) are applied by the
             # CONSUMER — inside the relayout kernel on the aligned quad
-            # path (free there; r5 trace showed any XLA placement runs as
-            # a standalone full-res clamp_select between two layout
-            # copies, ~11 ms/step), in XLA on the v1/fallback paths.
+            # path (free there; the r5 traces showed ANY XLA elementwise
+            # between this conv and the kernel — clamp_select first, the
+            # bias broadcast_add after the epilogue moved — runs as a
+            # standalone full-res pass between two layout copies,
+            # ~11 ms/step), in XLA on the v1/fallback paths.
             outputs["ls_s2d"] = ls4
+            outputs["ls_bias"] = s2d.tile_bias(bm)
             return outputs
 
         logits = head_conv(n_logits, "dispconv")

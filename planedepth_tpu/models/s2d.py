@@ -191,13 +191,16 @@ def phase_pad(x4: jnp.ndarray, mode: str) -> jnp.ndarray:
     return jnp.concatenate([top_full, mid, bot_full], axis=1)
 
 
-def conv_valid(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+def conv_valid(x: jnp.ndarray, kernel: jnp.ndarray, bias,
                dtype) -> jnp.ndarray:
-    """VALID-padding NHWC conv in the compute dtype."""
+    """VALID-padding NHWC conv in the compute dtype.  ``bias=None`` skips
+    the add (the merged-head path moves it into the relayout kernel)."""
     y = lax.conv_general_dilated(
         x.astype(dtype), kernel.astype(dtype), (1, 1), "VALID",
         dimension_numbers=DN,
     )
+    if bias is None:
+        return y
     return y + bias.astype(dtype)
 
 

@@ -33,30 +33,43 @@ from jax.experimental.pallas import tpu as pltpu
 F32 = jnp.float32
 
 
-def _fwd_kernel(x_ref, o_ref, *, R: int, C: int, wtiles: int,
-                sigma_epilogue: bool):
+def _fwd_kernel(*refs, R: int, C: int, wtiles: int,
+                sigma_epilogue: bool, with_bias: bool):
     """(R, 128, C) NHWC block -> (C, R, 128) NCHW block (or zeros in the
     halo region, where the index map pins the input to the last data
-    tile).  ``sigma_epilogue`` applies the mixture head's per-channel
+    tile).
+
+    ``with_bias`` adds a per-channel bias (the head conv's, kept OUT of
+    the conv) and ``sigma_epilogue`` applies the mixture head's
     ``clip(sigmoid(x), 0.01, 1)`` to the ODD (sigma) channels of the raw
-    interleaved head — free here, vs the standalone full-res
-    clamp_select pass + the two layout copies around it that XLA
-    schedules when the epilogue runs between the head conv and this
-    kernel (r5 trace: 3.3 + 4.6 + 3.1 ms/step at the flagship shape)."""
+    interleaved head — free here, vs the conv-epilogue placement where
+    XLA schedules ANY elementwise between the head conv and this kernel
+    as a standalone full-res pass between two layout copies (r5 traces:
+    ~11 ms/step at the flagship shape, first as clamp_select, then —
+    with the epilogue moved here but the bias still on the conv — as
+    broadcast_add)."""
+    refs = list(refs)
+    x_ref = refs.pop(0)
+    b_ref = refs.pop(0) if with_bias else None
+    o_ref = refs.pop(0)
     t = pl.program_id(2)
 
     @pl.when(t < wtiles)
     def _data():
         x = x_ref[...].reshape(R * 128, C)
-        if sigma_epilogue:
+        if with_bias or sigma_epilogue:
             # compute in f32 with one store-rounding (Mosaic rejects the
             # weak-typed f32 clip constants against a bf16 vector; the
             # XLA helper ls_epilogue mirrors this exactly)
             xf = x.astype(F32)
-            is_sigma = (jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-                        % 2) == 1
-            x = jnp.where(is_sigma,
-                          jnp.clip(jax.nn.sigmoid(xf), 0.01, 1.0), xf)
+            if with_bias:
+                xf = xf + b_ref[...].astype(F32)
+            if sigma_epilogue:
+                is_sigma = (jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+                            % 2) == 1
+                xf = jnp.where(is_sigma,
+                               jnp.clip(jax.nn.sigmoid(xf), 0.01, 1.0), xf)
+            x = xf
         o_ref[...] = x.T.reshape(C, R, 128).astype(o_ref.dtype)
 
     @pl.when(t >= wtiles)
@@ -66,12 +79,13 @@ def _fwd_kernel(x_ref, o_ref, *, R: int, C: int, wtiles: int,
 
 def relayout_pad_nchw(x, lpad: int, rpad: int, rows: int = 8,
                       interpret: bool = False, out_dtype=None,
-                      sigma_epilogue: bool = False):
+                      sigma_epilogue: bool = False, bias=None):
     """``(B, H, W, C)`` -> ``(B, C, H, W + lpad + rpad)`` zero-padded on W.
 
     ``lpad``/``rpad`` must be multiples of 128 (the production quad halo
     is 128-aligned by construction, ops/pallas_sweep_quad.py:_quad_pad).
-    ``sigma_epilogue``: see :func:`_fwd_kernel`.
+    ``sigma_epilogue`` / ``bias`` (a ``(C,)`` per-channel add applied
+    before the epilogue): see :func:`_fwd_kernel`.
     """
     B, H, W, C = x.shape
     R = rows
@@ -83,25 +97,32 @@ def relayout_pad_nchw(x, lpad: int, rpad: int, rows: int = 8,
     ttiles = wtiles + ltiles + rpad // 128
 
     kernel = functools.partial(_fwd_kernel, R=R, C=C, wtiles=wtiles,
-                               sigma_epilogue=sigma_epilogue)
+                               sigma_epilogue=sigma_epilogue,
+                               with_bias=bias is not None)
+    in_specs = [
+        # halo tiles (t >= wtiles) pin the input block to the LAST
+        # data tile: the pipeline skips the DMA when the block index
+        # repeats between consecutive grid steps, so the halo steps
+        # (which immediately follow data tile wtiles-1 and write
+        # zeros) cost no input bandwidth at all.  The left halo
+        # (signed mode only; production nonneg lpad = 0) is rotated
+        # to the right of the grid and the output index map unrotates
+        # it so tiles [0, ltiles) of the OUTPUT are the zero halo.
+        pl.BlockSpec(
+            (None, R, 128, C),
+            lambda b, h, t: (b, h, jnp.minimum(t, wtiles - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    args = [x]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, C), lambda b, h, t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias.reshape(1, C))
     out = pl.pallas_call(
         kernel,
         grid=(B, H // R, ttiles),
-        in_specs=[
-            # halo tiles (t >= wtiles) pin the input block to the LAST
-            # data tile: the pipeline skips the DMA when the block index
-            # repeats between consecutive grid steps, so the halo steps
-            # (which immediately follow data tile wtiles-1 and write
-            # zeros) cost no input bandwidth at all.  The left halo
-            # (signed mode only; production nonneg lpad = 0) is rotated
-            # to the right of the grid and the output index map unrotates
-            # it so tiles [0, ltiles) of the OUTPUT are the zero halo.
-            pl.BlockSpec(
-                (None, R, 128, C),
-                lambda b, h, t: (b, h, jnp.minimum(t, wtiles - 1), 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (None, C, R, 128),
             # data tiles shift right by the left halo; halo grid steps
@@ -116,7 +137,7 @@ def relayout_pad_nchw(x, lpad: int, rpad: int, rows: int = 8,
         out_shape=jax.ShapeDtypeStruct(
             (B, C, H, W + lpad + rpad), out_dtype or x.dtype),
         interpret=interpret,
-    )(x)
+    )(*args)
     return out
 
 

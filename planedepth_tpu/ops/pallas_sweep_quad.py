@@ -1042,27 +1042,34 @@ def _relayout_ok(ls_s2d, lpad: int, rpad: int) -> bool:
     return W2 % 128 == 0 and lpad % 128 == 0 and rpad % 128 == 0
 
 
-def ls_epilogue(ls_s2d):
-    """Mixture-head epilogue on the RAW interleaved (l, s) head: odd
-    channels (sigma) -> ``clip(sigmoid(x), 0.01, 1)`` (reference
+def ls_epilogue(ls_s2d, bias=None):
+    """Mixture-head epilogue on the RAW interleaved (l, s) head: optional
+    per-channel bias add (the head conv's, kept out of the conv), then
+    odd channels (sigma) -> ``clip(sigmoid(x), 0.01, 1)`` (reference
     depth_decoder.py:278-279).  The aligned quad path applies this inside
-    the relayout kernel instead (``sigma_epilogue=True``) — as a
-    standalone XLA pass between the head conv and the kernel it cost a
-    3.3 ms clamp_select plus two 3-4.6 ms layout copies per step.
-    f32 compute + one rounding to the input dtype, matching the
-    in-kernel variant (ops/pallas_relayout.py:_fwd_kernel)."""
+    the relayout kernel instead (``sigma_epilogue=True`` + ``bias``):
+    XLA schedules ANY elementwise between the head conv and the kernel
+    as a standalone full-res pass between two layout copies (~11
+    ms/step, r5 traces).  f32 compute + one rounding to the input dtype,
+    matching the in-kernel variant (ops/pallas_relayout.py:_fwd_kernel)."""
     nch = ls_s2d.shape[-1]
     is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(1, 1, 1, nch)
     xf = ls_s2d.astype(jnp.float32)
+    if bias is not None:
+        xf = xf + bias.astype(jnp.float32).reshape(1, 1, 1, nch)
     out = jnp.where(is_sigma, jnp.clip(jax.nn.sigmoid(xf), 0.01, 1.0), xf)
     return out.astype(ls_s2d.dtype)
 
 
-def _ls_epilogue_vjp(ls_s2d, d_post):
-    """Cotangent of :func:`ls_epilogue` at the raw head ``ls_s2d``."""
+def _ls_epilogue_vjp(ls_s2d, bias, d_post):
+    """Cotangent of :func:`ls_epilogue` at the raw head ``ls_s2d`` (the
+    bias cotangent is the spatial sum of the same expression)."""
     nch = d_post.shape[-1]
     is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(1, 1, 1, nch)
-    s = jnp.clip(jax.nn.sigmoid(ls_s2d.astype(jnp.float32)), 0.01, 1.0)
+    xf = ls_s2d.astype(jnp.float32)
+    if bias is not None:
+        xf = xf + bias.astype(jnp.float32).reshape(1, 1, 1, nch)
+    s = jnp.clip(jax.nn.sigmoid(xf), 0.01, 1.0)
     gate = ((s > 0.01) & (s < 1.0)).astype(jnp.float32)
     d = d_post.astype(jnp.float32)
     out = jnp.where(is_sigma, d * s * (1.0 - s) * gate, d)
@@ -1070,7 +1077,7 @@ def _ls_epilogue_vjp(ls_s2d, d_post):
 
 
 def _pack_quad_operands(srcq, ls_s2d, pad, gp_taps, nonneg, interpret,
-                        sigma_epilogue=False):
+                        sigma_epilogue=False, bias=None):
     """(srcq NCHW, ls_s2d NHWC) -> the pre-padded kernel operands."""
     pad2 = _quad_pad(pad, gp_taps)
     lpad = _quad_lpad(pad2, nonneg)
@@ -1081,23 +1088,28 @@ def _pack_quad_operands(srcq, ls_s2d, pad, gp_taps, nonneg, interpret,
 
         ls_p = relayout_pad_nchw(
             ls_s2d, lpad, rpad, rows=_relayout_rows(ls_s2d.shape[1]),
-            interpret=interpret, sigma_epilogue=sigma_epilogue,
+            interpret=interpret, sigma_epilogue=sigma_epilogue, bias=bias,
         )
     else:
         # tiny/unaligned shapes (CPU tests, dryrun): the XLA repack
         if sigma_epilogue:
-            ls_s2d = ls_epilogue(ls_s2d)
+            ls_s2d = ls_epilogue(ls_s2d, bias)
+        elif bias is not None:
+            ls_s2d = (ls_s2d.astype(jnp.float32)
+                      + bias.astype(jnp.float32).reshape(1, 1, 1, -1)
+                      ).astype(ls_s2d.dtype)
         ls_p = _pad_lr(quad_ls_from_s2d(ls_s2d), lpad, rpad)
     return src_p, ls_p, lpad, rpad
 
 
-def _fpsqs_call(srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret,
+def _fpsqs_call(srcq, tgtq, ls_s2d, shift2, mask2, bias, pad, interpret,
                 n_vertical, with_disp, rows, gp_taps, with_auto, nonneg,
                 sigma_epilogue, with_stats):
     """Shared pack + forward call for the s2d entry's primal and VJP-fwd
     (they differ only in ``with_stats``)."""
     src_p, ls_p, _, _ = _pack_quad_operands(
-        srcq, ls_s2d, pad, gp_taps, nonneg, interpret, sigma_epilogue)
+        srcq, ls_s2d, pad, gp_taps, nonneg, interpret, sigma_epilogue,
+        bias)
     out = _fwd_call_q(
         src_p, tgtq, ls_p, shift2, mask2, pad=pad, rows=rows,
         interpret=interpret, n_vertical=n_vertical, with_disp=with_disp,
@@ -1108,9 +1120,10 @@ def _fpsqs_call(srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13, 14))
 def fused_plane_sweep_quad_s2d(srcq, tgtq, ls_s2d, shift2, mask2,
-                               pad: int, interpret: bool = False,
+                               bias=None,
+                               pad: int = 0, interpret: bool = False,
                                n_vertical: int = 0, with_disp: bool = False,
                                rows: int = 16, gp_taps: int = 0,
                                with_auto: bool = True, nonneg: bool = False,
@@ -1118,35 +1131,37 @@ def fused_plane_sweep_quad_s2d(srcq, tgtq, ls_s2d, shift2, mask2,
     """Quad plane-sweep taking the decoder's ``ls_s2d (B, H/2, W/2, 4*2N)``
     NHWC head directly; otherwise identical to :func:`fused_plane_sweep_quad`.
 
-    ``sigma_epilogue``: the head is the decoder's RAW merged conv output
-    and the mixture sigma transform (:func:`ls_epilogue`) is applied
+    ``sigma_epilogue`` / ``bias``: the head is the decoder's RAW merged
+    conv output (conv WITHOUT its bias when ``bias`` is given) and the
+    bias add + mixture sigma transform (:func:`ls_epilogue`) are applied
     inside the relayout pass — see ops/pallas_relayout.py.
     """
     out, _, _ = _fpsqs_call(
-        srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret, n_vertical,
-        with_disp, rows, gp_taps, with_auto, nonneg, sigma_epilogue,
-        with_stats=False)
+        srcq, tgtq, ls_s2d, shift2, mask2, bias, pad, interpret,
+        n_vertical, with_disp, rows, gp_taps, with_auto, nonneg,
+        sigma_epilogue, with_stats=False)
     return out
 
 
-def _fpsqs_fwd(srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret,
+def _fpsqs_fwd(srcq, tgtq, ls_s2d, shift2, mask2, bias, pad, interpret,
                n_vertical, with_disp, rows, gp_taps, with_auto, nonneg,
                sigma_epilogue):
     out, src_p, ls_p = _fpsqs_call(
-        srcq, tgtq, ls_s2d, shift2, mask2, pad, interpret, n_vertical,
-        with_disp, rows, gp_taps, with_auto, nonneg, sigma_epilogue,
-        with_stats=True)
+        srcq, tgtq, ls_s2d, shift2, mask2, bias, pad, interpret,
+        n_vertical, with_disp, rows, gp_taps, with_auto, nonneg,
+        sigma_epilogue, with_stats=True)
     out, stats = out[:-1], out[-1]
     # ls_s2d (the raw head) is only a residual under sigma_epilogue —
     # the adjoint recomputes sigma from it; it is the decoder conv's
     # live output either way, so this adds no HBM
     res_ls = ls_s2d if sigma_epilogue else None
-    return out, (src_p, tgtq, ls_p, shift2, mask2, stats, out[0], res_ls)
+    return out, (src_p, tgtq, ls_p, shift2, mask2, bias, stats, out[0],
+                 res_ls)
 
 
 def _fpsqs_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps,
                with_auto, nonneg, sigma_epilogue, res, cts):
-    src_p, tgtq, ls_p, shift2, mask2, stats, rgb, raw_ls = res
+    src_p, tgtq, ls_p, shift2, mask2, bias, stats, rgb, raw_ls = res
     di = 3 if with_auto else 2
     g_disp = cts[di] if with_disp else None
     d_ls, d_shift2 = sweep_backward_quad(
@@ -1163,10 +1178,16 @@ def _fpsqs_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps,
     if sigma_epilogue:
         # chain through the in-kernel epilogue: elementwise, fuses into
         # the surrounding NHWC loop fusions
-        d_ls_s2d = _ls_epilogue_vjp(raw_ls, d_ls_s2d)
+        d_ls_s2d = _ls_epilogue_vjp(raw_ls, bias, d_ls_s2d)
+    d_bias = None
+    if bias is not None:
+        # bias enters as x + b before the epilogue: its cotangent is the
+        # spatial sum of the post-adjoint head cotangent
+        d_bias = d_ls_s2d.astype(jnp.float32).sum(
+            axis=(0, 1, 2)).astype(bias.dtype)
     return (jnp.zeros((B, 12, Hq, W2), src_p.dtype),
             jnp.zeros_like(tgtq), d_ls_s2d, d_shift2,
-            jnp.zeros_like(mask2))
+            jnp.zeros_like(mask2), d_bias)
 
 
 fused_plane_sweep_quad_s2d.defvjp(_fpsqs_fwd, _fpsqs_bwd)

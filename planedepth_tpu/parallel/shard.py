@@ -65,8 +65,10 @@ def shard_kernel(
     Args:
       fn: positional-args function whose array arguments all lead with the
         batch axis; closed over any static parameters.
-      in_rows: per-argument index of the image-row (H) axis, or None when
-        the argument has no full-resolution row axis.
+      in_rows: per-argument index of the image-row (H) axis, None when
+        the argument has no full-resolution row axis, or the string
+        ``"rep"`` for a fully-replicated argument with NO batch axis
+        (e.g. a per-channel bias vector).
       out_rows: same, for the flattened outputs of ``fn``.
       row_block: the kernel's rows-per-block R; the H axis is only sharded
         when every shard keeps a multiple of R rows.
@@ -92,14 +94,16 @@ def shard_kernel(
         if spatial:
             n_sp = mesh.shape[SPATIAL_AXIS]
             for a, r in zip(args, in_rows):
-                if r is not None and (
+                if r is not None and r != "rep" and (
                     a.shape[r] % n_sp != 0
                     or (a.shape[r] // n_sp) % row_block != 0
                 ):
                     spatial = False
                     break
         in_specs = tuple(
-            _spec(a.ndim, r, spatial) for a, r in zip(args, in_rows)
+            P(*([None] * a.ndim)) if r == "rep"
+            else _spec(a.ndim, r, spatial)
+            for a, r in zip(args, in_rows)
         )
         outs = jax.eval_shape(fn, *args)
         flat, treedef = jax.tree_util.tree_flatten(outs)

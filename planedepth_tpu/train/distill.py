@@ -197,10 +197,12 @@ def fused_mom_mask_novel(
     if "ls_s2d" in outputs:
         # merged s2d head: (2B, H/2, W/2, 4*2N) phase blocks, channel 2c =
         # logits plane c / 2c+1 = sigma (models/depth_decoder.py merged
-        # head conv, emitted RAW) -> full-res plane-last heads
+        # head conv, emitted RAW without its bias) -> full-res plane-last
+        # heads
         from planedepth_tpu.ops.pallas_sweep_quad import ls_epilogue
 
-        ls4 = jax.lax.stop_gradient(ls_epilogue(outputs["ls_s2d"]))
+        ls4 = jax.lax.stop_gradient(
+            ls_epilogue(outputs["ls_s2d"], outputs.get("ls_bias")))
         B2, Hh, Wh, C4 = ls4.shape
         n2 = C4 // 4
         full = ls4.reshape(B2, Hh, Wh, 2, 2, n2)

@@ -428,12 +428,13 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         src_t = jnp.moveaxis(source.astype(in_dtype), -1, 1)
         tgt_t = jnp.moveaxis(target.astype(in_dtype), -1, 1)
         if packed:
-            # the decoder emits the merged head RAW; the mixture sigma
-            # epilogue rides here (XLA) on the v1 path, in the relayout
-            # kernel on the quad path
+            # the decoder emits the merged head RAW (conv without bias);
+            # the bias add + mixture sigma epilogue ride here (XLA) on
+            # the v1 path, in the relayout kernel on the quad path
             from planedepth_tpu.ops.pallas_sweep_quad import ls_epilogue
 
-            heads = (plane_first(ls_epilogue(outputs["ls_s2d"])),)
+            heads = (plane_first(ls_epilogue(
+                outputs["ls_s2d"], outputs.get("ls_bias"))),)
         elif not cfg.model.use_mixture_loss:
             heads = (jnp.moveaxis(outputs["logits"].astype(in_dtype), -1, 1),)
         else:
@@ -499,22 +500,23 @@ def fused_stereo_losses(bundle, cfg, outputs, batch, pc_params):
         # ever serves target side 'r' (fused_sweep_ok / fused_mixed_ok),
         # whose shifts are disparities >= 0
         nonneg = True
+        ls_bias = outputs["ls_bias"].astype(in_dtype)
         sweep = shard_kernel(
-            lambda s_, t_, l_, sh_, m_: psq.fused_plane_sweep_quad_s2d(
-                s_, t_, l_, sh_, m_,
+            lambda s_, t_, l_, sh_, m_, b_: psq.fused_plane_sweep_quad_s2d(
+                s_, t_, l_, sh_, m_, b_,
                 pad, interpret, n_vertical, with_disp,
                 # NOT cfg.sweep_gp_taps: quad blocks span 2*sweep_rows
                 # full-res rows, needing the 16-row spread bound (14)
                 2 * cfg.sweep_rows, cfg.sweep_gp_taps_quad, with_auto,
                 nonneg, True,
             ),
-            in_rows=(2, 2, 1, 2, 2),
+            in_rows=(2, 2, 1, 2, 2, "rep"),
             out_rows=(2, 2) + ((2,) if with_auto else ())
             + ((2,) if with_disp else ()),
             row_block=cfg.sweep_rows,
         )
         sweep_out = sweep(srcq, tgtq, ls_s2d, psq.split_rows(shift),
-                          psq.split_rows(mask_rows))
+                          psq.split_rows(mask_rows), ls_bias)
         nll = sweep_out[1]                             # (B, 4, H/2, W/2)
         nll_auto = sweep_out[2] if with_auto else None
         rgb_rec = psq.d2s_quad(sweep_out[0])           # (B, H, W, 3)

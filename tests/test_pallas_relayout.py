@@ -106,7 +106,7 @@ def test_s2d_entry_matches_quad(with_disp, nonneg):
 
     def run_s2d(ls_, sh_):
         return q.fused_plane_sweep_quad_s2d(
-            srcq, tgtq, ls_, sh_, mk2,
+            srcq, tgtq, ls_, sh_, mk2, None,
             PAD, True, NV, with_disp, ROWS, GP_TAPS, True, nonneg,
         )
 
@@ -141,27 +141,31 @@ def test_s2d_entry_matches_quad(with_disp, nonneg):
         )
 
 
-def test_s2d_entry_sigma_epilogue():
-    """sigma_epilogue=True on a RAW head (epilogue inside the relayout
-    kernel at this aligned shape) == ls_epilogue applied in XLA + the
-    plain entry — values and gradients w.r.t. the raw head + shift."""
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_s2d_entry_sigma_epilogue(with_bias):
+    """sigma_epilogue=True on a RAW head (bias add + epilogue inside the
+    relayout kernel at this aligned shape) == ls_epilogue applied in XLA
+    + the plain entry — values and gradients w.r.t. the raw head, the
+    bias and shift."""
     N, NV = 6, 4
     src, tgt, _, shift, mask = _mk_data(N=N, NV=NV)
     rng = np.random.RandomState(11)
     raw = jnp.asarray(rng.randn(2, 8, 128, 8 * N).astype(np.float32))
+    bias = (jnp.asarray(rng.randn(8 * N).astype(np.float32)) * 0.5
+            if with_bias else None)
     srcq = q.s2d_image(src)
     tgtq = q.s2d_image(tgt)
     sh2, mk2 = q.split_rows(shift), q.split_rows(mask)
 
-    def run(ls_, sh_, epi):
-        ls_in = ls_ if epi else q.ls_epilogue(ls_)
+    def run(ls_, b_, sh_, epi):
+        ls_in = ls_ if epi else q.ls_epilogue(ls_, b_)
         return q.fused_plane_sweep_quad_s2d(
-            srcq, tgtq, ls_in, sh_, mk2,
+            srcq, tgtq, ls_in, sh_, mk2, b_ if epi else None,
             PAD, True, NV, True, ROWS, GP_TAPS, True, True, epi,
         )
 
-    ref = run(raw, sh2, False)
-    got = run(raw, sh2, True)
+    ref = run(raw, bias, sh2, False)
+    got = run(raw, bias, sh2, True)
     for i, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(
             np.asarray(g, np.float32), np.asarray(r, np.float32),
@@ -171,16 +175,21 @@ def test_s2d_entry_sigma_epilogue():
     ws = [jnp.asarray(rng.randn(*np.asarray(o).shape).astype(np.float32))
           for o in ref]
 
-    def loss(epi, ls_, sh_):
-        return sum(jnp.sum(w * o) for w, o in zip(ws, run(ls_, sh_, epi)))
+    argnums = (1, 3) if not with_bias else (1, 2, 3)
 
-    v_ref, (dls_ref, dsh_ref) = jax.value_and_grad(
-        lambda a, b: loss(False, a, b), argnums=(0, 1))(raw, sh2)
-    v_got, (dls_got, dsh_got) = jax.value_and_grad(
-        lambda a, b: loss(True, a, b), argnums=(0, 1))(raw, sh2)
-    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-6)
-    for name, rg, gg in (("d_raw", dls_ref, dls_got),
-                         ("d_shift", dsh_ref, dsh_got)):
+    def loss(epi, ls_, b_, sh_):
+        return sum(jnp.sum(w * o)
+                   for w, o in zip(ws, run(ls_, b_, sh_, epi)))
+
+    grads_ref = jax.value_and_grad(loss, argnums=argnums)(
+        False, raw, bias, sh2)
+    grads_got = jax.value_and_grad(loss, argnums=argnums)(
+        True, raw, bias, sh2)
+    np.testing.assert_allclose(float(grads_got[0]), float(grads_ref[0]),
+                               rtol=1e-6)
+    names = ("d_raw", "d_shift") if not with_bias else (
+        "d_raw", "d_bias", "d_shift")
+    for name, rg, gg in zip(names, grads_ref[1], grads_got[1]):
         scale = max(float(jnp.max(jnp.abs(rg))), 1e-3)
         np.testing.assert_allclose(
             np.asarray(gg) / scale, np.asarray(rg) / scale,
@@ -201,7 +210,8 @@ def test_s2d_entry_unaligned_fallback():
     args = (PAD, True, NV, True, ROWS, GP_TAPS, True, True)
     ref = q.fused_plane_sweep_quad(
         srcq, tgtq, q.quad_ls_from_s2d(ls_s2d), sh2, mk2, *args)
-    got = q.fused_plane_sweep_quad_s2d(srcq, tgtq, ls_s2d, sh2, mk2, *args)
+    got = q.fused_plane_sweep_quad_s2d(
+        srcq, tgtq, ls_s2d, sh2, mk2, None, *args)
     for i, (r, g) in enumerate(zip(ref, got)):
         np.testing.assert_allclose(
             np.asarray(g, np.float32), np.asarray(r, np.float32),
