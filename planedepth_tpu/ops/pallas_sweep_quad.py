@@ -1061,15 +1061,18 @@ def ls_epilogue(ls_s2d, bias=None):
     return out.astype(ls_s2d.dtype)
 
 
-def _ls_epilogue_vjp(ls_s2d, bias, d_post):
-    """Cotangent of :func:`ls_epilogue` at the raw head ``ls_s2d`` (the
-    bias cotangent is the spatial sum of the same expression)."""
+def _ls_epilogue_vjp_from_post(post, d_post):
+    """Cotangent of :func:`ls_epilogue` expressed in POST-epilogue values
+    (the clipped sigma itself): d_raw = d * s * (1 - s) on the sigma
+    channels, gated to 0 where the clip saturated (s == 0.01; the upper
+    bound is unreachable for a sigmoid).  Taking ``post`` from the padded
+    kernel residual keeps everything in the cotangent's layout — the r5
+    trace showed recomputing from the RAW head cost a 4.6 ms layout copy
+    of it per step.  The bias cotangent is the spatial sum of the
+    returned expression."""
     nch = d_post.shape[-1]
     is_sigma = ((jnp.arange(nch) % 2) == 1).reshape(1, 1, 1, nch)
-    xf = ls_s2d.astype(jnp.float32)
-    if bias is not None:
-        xf = xf + bias.astype(jnp.float32).reshape(1, 1, 1, nch)
-    s = jnp.clip(jax.nn.sigmoid(xf), 0.01, 1.0)
+    s = post.astype(jnp.float32)
     gate = ((s > 0.01) & (s < 1.0)).astype(jnp.float32)
     d = d_post.astype(jnp.float32)
     out = jnp.where(is_sigma, d * s * (1.0 - s) * gate, d)
@@ -1151,17 +1154,12 @@ def _fpsqs_fwd(srcq, tgtq, ls_s2d, shift2, mask2, bias, pad, interpret,
         n_vertical, with_disp, rows, gp_taps, with_auto, nonneg,
         sigma_epilogue, with_stats=True)
     out, stats = out[:-1], out[-1]
-    # ls_s2d (the raw head) is only a residual under sigma_epilogue —
-    # the adjoint recomputes sigma from it; it is the decoder conv's
-    # live output either way, so this adds no HBM
-    res_ls = ls_s2d if sigma_epilogue else None
-    return out, (src_p, tgtq, ls_p, shift2, mask2, bias, stats, out[0],
-                 res_ls)
+    return out, (src_p, tgtq, ls_p, shift2, mask2, bias, stats, out[0])
 
 
 def _fpsqs_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps,
                with_auto, nonneg, sigma_epilogue, res, cts):
-    src_p, tgtq, ls_p, shift2, mask2, bias, stats, rgb, raw_ls = res
+    src_p, tgtq, ls_p, shift2, mask2, bias, stats, rgb = res
     di = 3 if with_auto else 2
     g_disp = cts[di] if with_disp else None
     d_ls, d_shift2 = sweep_backward_quad(
@@ -1176,9 +1174,12 @@ def _fpsqs_bwd(pad, interpret, n_vertical, with_disp, rows, gp_taps,
     B, _, Hq, W2 = tgtq.shape
     d_ls_s2d = jnp.moveaxis(d_ls, 1, -1)
     if sigma_epilogue:
-        # chain through the in-kernel epilogue: elementwise, fuses into
-        # the surrounding NHWC loop fusions
-        d_ls_s2d = _ls_epilogue_vjp(raw_ls, bias, d_ls_s2d)
+        # chain through the in-kernel epilogue using the POST values
+        # sliced from the padded residual (same free-bitcast layout as
+        # the cotangent; see _ls_epilogue_vjp_from_post)
+        lpad = _quad_lpad(_quad_pad(pad, gp_taps), nonneg)
+        post = jnp.moveaxis(ls_p[:, :, :, lpad:lpad + W2], 1, -1)
+        d_ls_s2d = _ls_epilogue_vjp_from_post(post, d_ls_s2d)
     d_bias = None
     if bias is not None:
         # bias enters as x + b before the epilogue: its cotangent is the
