@@ -160,6 +160,10 @@ def run_bench(per_step_batch: int, remat: bool = False,
 #   b4: measured b6 scales SUPER-linearly (445.5 ms vs b4's 251.5 —
 #   13.5 imgs/s < 15.9) and the b8 graph crashes the remote compile
 #   helper (HTTP 500, reproducibly).
+#   r5: b6 now FITS (the relayout kernel freed the ls repack
+#   intermediate) but remains super-linear — 16.4 pc-off / 11.1 full
+#   vs b4's 20.7 / 15.7: HBM pressure, not fixed-overhead amortization,
+#   governs the batch axis.  b4 stays the ladder head.
 LADDER = (
     (4, False, False, True, False, "b4_fused_noremat"),
     (4, False, False, True, True, "b4_fused"),
